@@ -1,0 +1,511 @@
+"""icelite — a minimal transactional snapshot table format on Parquet.
+
+The sandbox ships no Iceberg runtime jar, so this module provides the
+Iceberg *semantics* the CDC engine needs, behind a small API a real Iceberg
+catalog could replace 1:1:
+
+- **Atomic commits / snapshot isolation**: every commit writes a new
+  immutable metadata JSON `metadata/v{N}.json` created with O_EXCL
+  (optimistic concurrency — a concurrent committer loses and retries) and
+  then atomically swings `metadata/version-hint.text` via os.replace.
+  Readers resolve the hint to one metadata file → a consistent snapshot.
+- **Snapshot summary properties + table properties**: carry the
+  exactly-once epoch fence (`cdc.last-epoch`) so a retried foreachBatch
+  epoch is a no-op (Iceberg: snapshot summary / table properties).
+- **Schema evolution by field id**: columns have stable integer ids;
+  rename changes only the display name, widen (int→long, float→double)
+  casts old files on read, add fills nulls. Old data files remain valid
+  (Iceberg: schema-id per data file + name mapping).
+- **Bucket-partitioned copy-on-write MERGE**: the table is hash-bucketed
+  on its key columns; a merge rewrites only the buckets containing
+  changed keys and carries every other data file forward untouched.
+  At 100 TB this is the difference between rewriting the world per batch
+  and rewriting ~(touched buckets / total buckets) of it (Iceberg COW with
+  `bucket(N, key)` partitioning behaves the same way).
+- **Time travel**: `read(snapshot_id=...)` reads any retained snapshot.
+
+Semantics modeled on the Iceberg spec (public) and the needs in
+SURVEY.md §7; the DataVec reference's closest analog is the sorted/indexed
+MapFile storage (`datavec-hadoop/.../MapFileRecordWriter.java:35`,
+`datavec-spark/.../storage/SparkStorageUtils.java:190-364`) which this
+supersedes with columnar snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type registry (icelite type string <-> Spark type)
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+}
+
+# legal widening promotions (Iceberg spec: int→long, float→double)
+_WIDEN_OK = {("int", "long"), ("float", "double"), ("int", "double")}
+
+
+def type_to_spark(s: str) -> T.DataType:
+    if s in _PRIMITIVES:
+        return _PRIMITIVES[s]
+    if s.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(type_to_spark(s[6:-1]))
+    raise ValueError(f"unsupported icelite type: {s}")
+
+
+def spark_to_type(dt: T.DataType) -> str:
+    for name, t in _PRIMITIVES.items():
+        if dt == t:
+            return name
+    if isinstance(dt, T.ArrayType):
+        return f"array<{spark_to_type(dt.elementType)}>"
+    raise ValueError(f"unsupported spark type for icelite: {dt}")
+
+
+def schema_to_struct(fields: list[dict]) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f["name"], type_to_spark(f["type"]), f.get("nullable", True)) for f in fields]
+    )
+
+
+# ---------------------------------------------------------------------------
+# table
+# ---------------------------------------------------------------------------
+
+BUCKET_COL = "__bucket"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+class IceliteTable:
+    def __init__(self, location: str):
+        self.location = location
+        self._meta_dir = os.path.join(location, "metadata")
+        self._data_dir = os.path.join(location, "data")
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        schema: T.StructType,
+        key_cols: list[str] | None = None,
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "IceliteTable":
+        t = cls(location)
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": spark_to_type(f.dataType), "nullable": f.nullable}
+            for i, f in enumerate(schema.fields)
+        ]
+        key_cols = key_cols or []
+        key_ids = [fields[[f["name"] for f in fields].index(c)]["id"] for c in key_cols]
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "current_schema_id": 0,
+            "schemas": [{"schema_id": 0, "fields": fields}],
+            "partition_spec": {"key_field_ids": key_ids, "num_buckets": num_buckets},
+            "properties": dict(properties or {}),
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "last_field_id": len(fields),
+            "last_snapshot_id": 0,
+        }
+        t._write_metadata(meta, expected_version=0)
+        return t
+
+    @classmethod
+    def load(cls, location: str) -> "IceliteTable":
+        t = cls(location)
+        t.metadata()  # raises if absent
+        return t
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", "version-hint.text"))
+
+    # -- metadata ------------------------------------------------------------
+
+    def _version(self) -> int:
+        with open(os.path.join(self._meta_dir, "version-hint.text")) as fh:
+            return int(fh.read().strip())
+
+    def metadata(self) -> dict:
+        v = self._version()
+        with open(os.path.join(self._meta_dir, f"v{v}.json")) as fh:
+            return json.load(fh)
+
+    def _write_metadata(self, meta: dict, expected_version: int) -> None:
+        new_v = expected_version + 1
+        path = os.path.join(self._meta_dir, f"v{new_v}.json")
+        try:
+            # O_EXCL create = the optimistic-concurrency commit point
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(f"metadata v{new_v} already exists") from e
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        tmp = os.path.join(self._meta_dir, f".hint.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(new_v))
+        os.replace(tmp, os.path.join(self._meta_dir, "version-hint.text"))
+
+    def schema_struct(self, schema_id: int | None = None) -> T.StructType:
+        meta = self.metadata()
+        sid = meta["current_schema_id"] if schema_id is None else schema_id
+        fields = next(s["fields"] for s in meta["schemas"] if s["schema_id"] == sid)
+        return schema_to_struct(fields)
+
+    def properties(self) -> dict[str, str]:
+        return self.metadata()["properties"]
+
+    def current_snapshot(self) -> dict | None:
+        meta = self.metadata()
+        if meta["current_snapshot_id"] is None:
+            return None
+        return next(s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"])
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def key_cols(self, meta: dict | None = None) -> list[str]:
+        meta = meta or self.metadata()
+        fields = self._fields(meta)
+        by_id = {f["id"]: f["name"] for f in fields}
+        return [by_id[i] for i in meta["partition_spec"]["key_field_ids"]]
+
+    def _fields(self, meta: dict, schema_id: int | None = None) -> list[dict]:
+        sid = meta["current_schema_id"] if schema_id is None else schema_id
+        return next(s["fields"] for s in meta["schemas"] if s["schema_id"] == sid)
+
+    # -- read ----------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel) snapshot as a DataFrame in the current
+        schema. Old-schema files are projected by field id: renamed columns
+        aliased, widened columns cast, added columns null-filled. With
+        `buckets`, only data files of those buckets are read (partition
+        pruning at the manifest level — the scale path for merges)."""
+        meta = self.metadata()
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == snapshot_id)
+        cur_fields = self._fields(meta)
+        cur_struct = schema_to_struct(cur_fields)
+        if snap is None or not snap["files"]:
+            return spark.createDataFrame([], cur_struct)
+
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+            if not files:
+                return spark.createDataFrame([], cur_struct)
+
+        # group files by the schema they were written with; project each
+        # group to the current schema by field id, then union
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f["schema_id"], []).append(os.path.join(self.location, f["path"]))
+        parts: list[DataFrame] = []
+        for sid, paths in by_sid.items():
+            df = spark.read.parquet(*paths)
+            old_fields = {f["id"]: f for f in self._fields(meta, sid)}
+            cols = []
+            for cf in cur_fields:
+                of = old_fields.get(cf["id"])
+                if of is None:  # column added after these files were written
+                    cols.append(F.lit(None).cast(type_to_spark(cf["type"])).alias(cf["name"]))
+                else:
+                    c = F.col(of["name"])
+                    if of["type"] != cf["type"]:
+                        c = c.cast(type_to_spark(cf["type"]))
+                    cols.append(c.alias(cf["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write ---------------------------------------------------------------
+
+    def _bucket_expr(self, meta: dict) -> F.Column:
+        keys = self.key_cols(meta)
+        n = meta["partition_spec"]["num_buckets"]
+        if not keys:
+            return F.lit(0)
+        # xxhash64 over ALL key columns (not a string-concatenated key — the
+        # reference's string keys, MapToPairForReducerFunction.java:30-53, are
+        # a collision + skew hazard this avoids); pmod keeps it non-negative
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
+
+    def _write_data_files(self, df: DataFrame, meta: dict) -> list[dict]:
+        """Write df (current schema) as bucket-partitioned parquet; return
+        manifest entries. One Spark write job, hive-style bucket dirs."""
+        write_id = uuid.uuid4().hex
+        out_dir = os.path.join(self._data_dir, write_id)
+        n = meta["partition_spec"]["num_buckets"]
+        keys = self.key_cols(meta)
+        staged = df.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        if keys:
+            # co-locate each bucket into one task → one file per bucket
+            staged = staged.repartition(n, F.col(BUCKET_COL))
+        staged.write.partitionBy(BUCKET_COL).parquet(out_dir)
+        entries: list[dict] = []
+        for bucket_dir in sorted(os.listdir(out_dir)):
+            if not bucket_dir.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(bucket_dir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
+                if fn.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(out_dir, bucket_dir, fn), self.location)
+                    entries.append({"path": rel, "bucket": bucket, "schema_id": meta["current_schema_id"]})
+        return entries
+
+    def _commit_snapshot(
+        self,
+        meta: dict,
+        version: int,
+        files: list[dict],
+        summary: dict[str, Any],
+        properties_update: dict[str, str] | None = None,
+    ) -> int:
+        snap_id = meta["last_snapshot_id"] + 1
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_id": meta["current_schema_id"],
+            "summary": summary,
+            "files": files,
+        }
+        meta["snapshots"].append(snap)
+        meta["current_snapshot_id"] = snap_id
+        meta["last_snapshot_id"] = snap_id
+        if properties_update:
+            meta["properties"].update(properties_update)
+        self._write_metadata(meta, expected_version=version)
+        return snap_id
+
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict[str, Any] | None = None,
+        properties_update: dict[str, str] | None = None,
+    ) -> int:
+        meta, version = self.metadata(), self._version()
+        cur = self.current_snapshot()
+        new_files = self._write_data_files(self._conform(df, meta), meta)
+        files = (cur["files"] if cur else []) + new_files
+        return self._commit_snapshot(
+            meta, version, files, {"operation": "append", **(summary or {})},
+            properties_update=properties_update,
+        )
+
+    def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
+        meta, version = self.metadata(), self._version()
+        new_files = self._write_data_files(self._conform(df, meta), meta)
+        return self._commit_snapshot(
+            meta, version, new_files, {"operation": "overwrite", **(summary or {})}
+        )
+
+    def _conform(self, df: DataFrame, meta: dict) -> DataFrame:
+        cur = self._fields(meta)
+        cols = []
+        for f in cur:
+            if f["name"] in df.columns:
+                cols.append(F.col(f["name"]).cast(type_to_spark(f["type"])).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(type_to_spark(f["type"])).alias(f["name"]))
+        return df.select(*cols)
+
+    # -- CDC merge (epoch-fenced, bucket copy-on-write) -----------------------
+
+    def last_epoch(self) -> int:
+        return int(self.properties().get("cdc.last-epoch", "-1"))
+
+    def merge_cdc(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        seq_col: str = "_seq",
+        op_col: str = "_op",
+        epoch: int | None = None,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict:
+        """Apply per-key winners (one row per key: op ∈ {upsert, delete},
+        payload in current schema + seq_col) with last-writer-wins by
+        seq_col against the stored `_seq`. Copy-on-write at bucket
+        granularity: only buckets containing changed keys are rewritten.
+
+        Exactly-once: with `epoch`, the merge is fenced — if
+        epoch <= properties['cdc.last-epoch'] the call is a no-op (the
+        retried foreachBatch case), and the property advances atomically
+        with the snapshot commit.
+
+        Returns {"applied": bool, "snapshot_id": int|None}.
+        """
+        if epoch is not None and epoch <= self.last_epoch():
+            return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
+
+        meta, version = self.metadata(), self._version()
+        keys = self.key_cols(meta)
+        assert keys, "merge_cdc requires key columns"
+
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
+        target = self.read(spark, buckets=touched)
+
+        data_cols = [f["name"] for f in self._fields(meta)]
+        # resolve: keep target rows whose key is absent from changes or whose
+        # stored seq wins; take change rows that are upserts and win.
+        # Changes are full-row images: current-schema columns absent from the
+        # change stream (e.g. just-added columns) are null on upsert.
+        fields_by_name = {f["name"]: f for f in self._fields(meta)}
+        ch = changes.select(
+            *[
+                (F.col(c) if c in changes.columns
+                 else F.lit(None).cast(type_to_spark(fields_by_name[c]["type"]))).alias(c)
+                for c in data_cols
+                if c != seq_col
+            ],
+            F.col(seq_col),
+            F.col(op_col),
+        )
+        joined = target.alias("t").join(ch.alias("c"), on=keys, how="full_outer")
+        has_change = F.col(f"c.{op_col}").isNotNull()
+        change_wins = has_change & (
+            F.col(f"t.{seq_col}").isNull() | (F.col(f"c.{seq_col}") > F.col(f"t.{seq_col}"))
+        )
+        keep_target = (~has_change) | (~change_wins)
+        is_upsert = F.col(f"c.{op_col}") != F.lit("delete")
+
+        def pick(col: str) -> F.Column:
+            if col in keys:
+                return F.col(col)
+            return F.when(change_wins, F.col(f"c.{col}")).otherwise(F.col(f"t.{col}"))
+
+        merged = (
+            joined.where((keep_target & F.col(f"t.{seq_col}").isNotNull()) | (change_wins & is_upsert))
+            .select(*[pick(c).alias(c) for c in data_cols])
+        )
+
+        new_files = self._write_data_files(merged, meta)
+        cur = self.current_snapshot()
+        untouched = [f for f in (cur["files"] if cur else []) if f["bucket"] not in set(touched)]
+        props = {"cdc.last-epoch": str(epoch)} if epoch is not None else None
+        snap_id = self._commit_snapshot(
+            meta,
+            version,
+            untouched + new_files,
+            {"operation": "merge", "touched-buckets": len(touched), **(extra_summary or {})},
+            properties_update=props,
+        )
+        return {"applied": True, "snapshot_id": snap_id}
+
+    # -- schema evolution ------------------------------------------------------
+
+    def _evolve(self, mutate, properties_update: dict[str, str] | None = None) -> int:
+        meta, version = self.metadata(), self._version()
+        fields = [dict(f) for f in self._fields(meta)]
+        fields = mutate(meta, fields)
+        new_sid = meta["current_schema_id"] + 1
+        meta["schemas"].append({"schema_id": new_sid, "fields": fields})
+        meta["current_schema_id"] = new_sid
+        if properties_update:
+            meta["properties"].update(properties_update)
+        self._write_metadata(meta, expected_version=version)
+        return new_sid
+
+    def add_column(self, name: str, type_str: str, properties_update: dict[str, str] | None = None) -> int:
+        type_to_spark(type_str)  # validate
+
+        def mutate(meta, fields):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column exists: {name}")
+            meta["last_field_id"] += 1
+            return fields + [{"id": meta["last_field_id"], "name": name, "type": type_str, "nullable": True}]
+
+        return self._evolve(mutate, properties_update)
+
+    def rename_column(self, name: str, new_name: str, properties_update: dict[str, str] | None = None) -> int:
+        def mutate(meta, fields):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no such column: {name}")
+            hit[0]["name"] = new_name
+            return fields
+
+        return self._evolve(mutate, properties_update)
+
+    def widen_column(self, name: str, new_type: str, properties_update: dict[str, str] | None = None) -> int:
+        def mutate(meta, fields):
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
+                raise ValueError(f"no such column: {name}")
+            if (hit[0]["type"], new_type) not in _WIDEN_OK:
+                raise ValueError(f"illegal widen {hit[0]['type']} -> {new_type}")
+            hit[0]["type"] = new_type
+            return fields
+
+        return self._evolve(mutate, properties_update)
+
+    # -- maintenance -----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop old snapshots' metadata entries and garbage-collect data files
+        referenced only by them (Iceberg: expire_snapshots)."""
+        meta, version = self.metadata(), self._version()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        keep = snaps[-keep_last:]
+        live = {f["path"] for s in keep for f in s["files"]}
+        dead = {f["path"] for s in snaps[:-keep_last] for f in s["files"]} - live
+        for rel in dead:
+            p = os.path.join(self.location, rel)
+            if os.path.exists(p):
+                os.remove(p)
+            d = os.path.dirname(p)
+            # prune empty bucket dirs best-effort
+            try:
+                os.removedirs(d)
+            except OSError:
+                pass
+        meta["snapshots"] = keep
+        self._write_metadata(meta, expected_version=version)
+        return len(dead)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.location, ignore_errors=True)

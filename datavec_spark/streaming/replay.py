@@ -1,0 +1,327 @@
+"""CDC replay engine: binlog/WAL tail → key-partitioned LWW merge upserts
+into an icelite (Iceberg-semantics) table, batch and Structured Streaming.
+
+Semantics (BASELINE.json north_star):
+- events are full-row images keyed on (repo, path) with a globally unique,
+  strictly increasing `seq` (commit order);
+- per-key resolution is last-writer-wins by `seq` — DataVec's
+  ConvertToSequence(key) + Reducer(TakeLast) collapsed into a single
+  partial-aggregating `max_by(struct(payload), seq)` (no groupByKey, no
+  whole-group materialization — the map-side combine makes hot Zipf keys a
+  non-issue for the in-batch collapse, which is why no explicit salt is
+  needed there; see AggregatorImpls.java:41 `AggregableLast` for the
+  reference semantics);
+- deletes become tombstones (`_deleted = true`) carrying their seq so a
+  re-delivered or late older event can never resurrect a deleted row;
+- merges are idempotent: a change applies only if `change.seq > stored.seq`
+  — duplicate deliveries (identical seq) and retried batches are no-ops;
+- exactly-once: foreachBatch epochs are fenced via the table property
+  `cdc.last-epoch`, advanced atomically with the snapshot commit;
+- schema-evolution events (add/rename/widen) are applied serially on the
+  driver in `seq` order before the batch's data merge, fenced by
+  `cdc.schema-seq`; event payload columns are bound to table columns by
+  immutable field id (property `cdc.field-map`), so renames never detach
+  the stream from its columns;
+- per-batch lineage rows (epoch, partition=bucket, event_count,
+  min/max seq, late_count, snapshot_id) land in a lineage table,
+  idempotently (re-running an epoch overwrites the same keys).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavec_spark.sources.icelite import IceliteTable, type_to_spark
+
+EVENT_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField(
+            "schema_change",
+            T.StructType(
+                [
+                    T.StructField("col_name", T.StringType()),
+                    T.StructField("new_name", T.StringType()),
+                    T.StructField("new_type", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+SCHEMA_OPS = ("add_column", "rename_column", "widen_column")
+# immutable binding: event payload field -> icelite field id (set at bootstrap)
+EVENT_FIELDS = ["repo", "path", "commit", "lang", "content"]
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("event_count", T.LongType()),
+        T.StructField("min_seq", T.LongType()),
+        T.StructField("max_seq", T.LongType()),
+        T.StructField("late_count", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+    ]
+)
+
+
+def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:
+    """Spark-side mirror of datagen.content_for — lets bench-scale jobs
+    generate/verify content entirely in the JVM (no driver collect)."""
+    h = F.sha2(F.concat_ws("|", repo, path, seq.cast("string")), 256)
+    k = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 8) + 1
+    return F.repeat(h, k)
+
+
+class CdcEngine:
+    def __init__(self, table_location: str, lineage_location: str | None = None, num_buckets: int = 16):
+        self.table_location = table_location
+        self.lineage_location = lineage_location or table_location.rstrip("/") + "_lineage"
+        self.num_buckets = num_buckets
+
+    # -- bootstrap -------------------------------------------------------------
+
+    def bootstrap(self, spark: SparkSession, base_df: DataFrame | None = None) -> IceliteTable:
+        """Create the target + lineage tables; load the initial snapshot
+        (seq=0 rows). base_df has the input_hint shape."""
+        schema = T.StructType(
+            [T.StructField(n, T.StringType()) for n in EVENT_FIELDS]
+            + [T.StructField("_seq", T.LongType()), T.StructField("_deleted", T.BooleanType())]
+        )
+        table = IceliteTable.create(
+            self.table_location,
+            schema,
+            key_cols=["repo", "path"],
+            num_buckets=self.num_buckets,
+            properties={
+                "cdc.field-map": json.dumps({n: i + 1 for i, n in enumerate(EVENT_FIELDS)}),
+                "cdc.schema-seq": "-1",
+                "cdc.last-epoch": "-1",
+            },
+        )
+        IceliteTable.create(
+            self.lineage_location,
+            LINEAGE_SCHEMA,
+            key_cols=["epoch", "partition"],
+            num_buckets=1,
+            properties={"lineage.last-epoch": "-1"},
+        )
+        if base_df is not None:
+            table.overwrite(
+                base_df.withColumn("_seq", F.lit(0).cast("long")).withColumn("_deleted", F.lit(False)),
+                summary={"bootstrap": True},
+            )
+        return table
+
+    def table(self) -> IceliteTable:
+        return IceliteTable.load(self.table_location)
+
+    def lineage_table(self) -> IceliteTable:
+        return IceliteTable.load(self.lineage_location)
+
+    # -- reads -----------------------------------------------------------------
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        """User-facing view of the table: live rows, no bookkeeping columns."""
+        t = self.table()
+        return t.read(spark).where(~F.col("_deleted")).drop("_seq", "_deleted")
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return self.lineage_table().read(spark).where(~F.col("_deleted")).drop("_seq", "_deleted") \
+            if "_deleted" in [f.name for f in self.lineage_table().schema_struct().fields] \
+            else self.lineage_table().read(spark)
+
+    # -- the apply stage (shared by batch replay and foreachBatch) --------------
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch_df: DataFrame,
+        epoch: int,
+        late_delay_seconds: int = 600,
+        transform_chain=None,
+    ) -> dict:
+        """Apply one epoch of the change stream. Idempotent per epoch."""
+        table = self.table()
+        batch_df = batch_df.persist()
+        try:
+            # 1. schema-evolution ops: tiny (~1%), driver-serialized in seq
+            #    order, fenced by cdc.schema-seq so retries are no-ops
+            schema_ops = (
+                batch_df.where(F.col("op").isin(*SCHEMA_OPS))
+                .select("seq", "op", "schema_change")
+                .collect()
+            )
+            for r in sorted(schema_ops, key=lambda r: r["seq"]):
+                if r["seq"] <= int(table.properties().get("cdc.schema-seq", "-1")):
+                    continue
+                sc = r["schema_change"]
+                fence = {"cdc.schema-seq": str(r["seq"])}
+                if r["op"] == "add_column":
+                    table.add_column(sc["col_name"], sc["new_type"], properties_update=fence)
+                elif r["op"] == "rename_column":
+                    table.rename_column(sc["col_name"], sc["new_name"], properties_update=fence)
+                else:
+                    table.widen_column(sc["col_name"], sc["new_type"], properties_update=fence)
+
+            # 2. bind event payload columns to current table columns by field id
+            meta = table.metadata()
+            fmap = json.loads(table.properties()["cdc.field-map"])
+            by_id = {f["id"]: f for f in table._fields(meta)}
+            cur_name = {orig: by_id[fid]["name"] for orig, fid in fmap.items()}
+            key_cols = table.key_cols(meta)
+
+            data = batch_df.where(~F.col("op").isin(*SCHEMA_OPS))
+            if transform_chain is not None:
+                # DataVec TransformProcess parity: vectorized transform chain
+                # applied inside the merge-apply stage (SURVEY.md §0 graft)
+                data = transform_chain(data)
+
+            payload = [
+                F.col(orig).cast(type_to_spark(by_id[fmap[orig]]["type"])).alias(cur_name[orig])
+                for orig in EVENT_FIELDS
+            ]
+            bound = data.select(*payload, F.col("seq"), F.col("op"), F.col("ts"))
+
+            # 3. in-batch LWW collapse: one winner per key by max seq.
+            #    groupBy().agg(max_by) does map-side partial aggregation —
+            #    hot (repo) keys collapse before the shuffle, so skew cannot
+            #    concentrate rows the way the reference's groupByKey did
+            #    (SparkTransformExecutor.java:231).
+            nonkey = [cur_name[o] for o in EVENT_FIELDS if cur_name[o] not in key_cols]
+            winners = (
+                bound.groupBy(*[F.col(k) for k in key_cols])
+                .agg(
+                    F.max_by(F.struct(*[F.col(c) for c in nonkey], F.col("op")), F.col("seq")).alias("w"),
+                    F.max("seq").alias("_seq"),
+                )
+                .select(*key_cols, "w.*", "_seq")
+            )
+            changes = (
+                winners.withColumn("_deleted", F.col("op") == F.lit("delete"))
+                .withColumn("_op", F.lit("upsert"))
+                .drop("op")
+            )
+
+            # 4. lineage metrics per bucket (partition) incl. late-event count
+            max_ts = bound.agg(F.max("ts")).collect()[0][0]
+            if max_ts is None:  # empty trigger (no data events this epoch)
+                return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
+            late_cut = F.lit(max_ts) - F.expr(f"INTERVAL {late_delay_seconds} SECONDS")
+            lineage_rows = (
+                bound.groupBy(
+                    F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(self.num_buckets))
+                    .cast("int")
+                    .alias("partition")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("event_count"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
+                    F.sum((F.col("ts") < late_cut).cast("long")).alias("late_count"),
+                )
+                .collect()
+            )
+
+            # 5. epoch-fenced bucket-COW merge
+            result = table.merge_cdc(
+                spark,
+                changes,
+                seq_col="_seq",
+                op_col="_op",
+                epoch=epoch,
+                extra_summary={"epoch": epoch},
+            )
+
+            # 6. lineage upsert — idempotent by (epoch, partition) key
+            snap_id = result["snapshot_id"] if result["applied"] else (
+                self.table().current_snapshot() or {}
+            ).get("snapshot_id")
+            lin = self.lineage_table()
+            if lineage_rows and int(lin.properties().get("lineage.last-epoch", "-1")) < epoch:
+                rows = [
+                    (epoch, r["partition"], r["event_count"], r["min_seq"], r["max_seq"],
+                     r["late_count"] or 0, snap_id)
+                    for r in lineage_rows
+                ]
+                lin.append(
+                    spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                    summary={"epoch": epoch},
+                    properties_update={"lineage.last-epoch": str(epoch)},
+                )
+            return result
+        finally:
+            batch_df.unpersist()
+
+    # -- batch replay ------------------------------------------------------------
+
+    def replay_batch(self, spark: SparkSession, events_df: DataFrame, epoch: int = 0) -> dict:
+        """Replay a bounded event log in one epoch (bulk backfill path)."""
+        return self.apply_batch(spark, events_df, epoch=epoch)
+
+    # -- streaming replay ----------------------------------------------------------
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        watermark_delay: str = "120 minutes",
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+        transform_chain=None,
+    ):
+        """Structured Streaming tail of the event-file directory.
+
+        Watermarked event-time dedup on `seq` bounds the dedup state; events
+        later than the watermark that slip past dedup are still harmless
+        because the merge is idempotent by seq (and they are counted into
+        lineage late_count). Exactly-once = checkpoint (epoch replay) +
+        cdc.last-epoch fence inside the commit.
+        """
+        reader = spark.readStream.schema(EVENT_SPARK_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = (
+            reader.parquet(events_dir)
+            .withWatermark("ts", watermark_delay)
+            .dropDuplicates(["seq"])
+        )
+
+        def process(df: DataFrame, batch_id: int):
+            self.apply_batch(spark, df, epoch=batch_id, transform_chain=transform_chain)
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- verification ----------------------------------------------------------------
+
+    def final_state_hashes(self, spark: SparkSession) -> DataFrame:
+        """(key cols..., sha256(content)) of the live table — the replay-
+        equality invariant. All JVM-side; safe at any scale."""
+        t = self.table()
+        keys = t.key_cols()
+        df = self.read_current(spark)
+        content_col = [c for c in df.columns if c not in keys][-1]  # 'content' by field id
+        fmap = json.loads(t.properties()["cdc.field-map"])
+        by_id = {f["id"]: f["name"] for f in t._fields(t.metadata())}
+        content_name = by_id[fmap["content"]]
+        return df.select(*keys, F.sha2(F.col(content_name), 256).alias("content_sha"))

@@ -1,0 +1,127 @@
+"""End-to-end CDC replay vs the pure-Python oracle (FIXTURES.md §A).
+
+Asserts set-equality of (repo, path, sha256(content)) plus final schema —
+the BASELINE.json per-row invariant — for batch replay, chunked epoch
+replay (exactly-once fencing), and Structured Streaming replay with
+checkpoint resume.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavec_spark.streaming.datagen import (
+    EVENT_SCHEMA,
+    generate_base_rows,
+    generate_events,
+    events_to_table,
+    write_event_chunks,
+)
+from datavec_spark.streaming.oracle import replay as oracle_replay, expected_key_hashes
+from datavec_spark.streaming.replay import EVENT_SPARK_SCHEMA, CdcEngine, content_expr
+
+N_EVENTS = 2500
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    base = generate_base_rows(150, n_repos=30, paths_per_repo=25)
+    events = generate_events(N_EVENTS, n_repos=30, paths_per_repo=25)
+    state, schema = oracle_replay(base, events)
+    return base, events, state, schema
+
+
+def base_df(spark, base):
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in base],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def events_df(spark, events):
+    import pandas as pd
+
+    pdf = events_to_table(events).to_pandas()
+    return spark.createDataFrame(pdf, EVENT_SPARK_SCHEMA)
+
+
+def assert_final_state(spark, engine, state, schema):
+    got = {
+        (r["repo"], r["path"], r["content_sha"])
+        for r in engine.final_state_hashes(spark).collect()
+    }
+    assert got == expected_key_hashes(state)
+    # final schema (user view) matches the oracle's evolved schema
+    user = engine.read_current(spark)
+    got_schema = [(f.name, f.dataType.simpleString()) for f in user.schema.fields]
+    want = [(n, {"string": "string", "int": "int", "long": "bigint"}[t]) for n, t in schema]
+    assert got_schema == want
+
+
+def test_batch_replay_matches_oracle(spark, tmp_path, fixture):
+    base, events, state, schema = fixture
+    eng = CdcEngine(str(tmp_path / "repos"), num_buckets=8)
+    eng.bootstrap(spark, base_df(spark, base))
+    res = eng.replay_batch(spark, events_df(spark, events))
+    assert res["applied"]
+    assert_final_state(spark, eng, state, schema)
+
+
+def test_chunked_epochs_and_fence(spark, tmp_path, fixture):
+    base, events, state, schema = fixture
+    eng = CdcEngine(str(tmp_path / "repos"), num_buckets=8)
+    eng.bootstrap(spark, base_df(spark, base))
+    n_chunks = 5
+    n = len(events)
+    for c in range(n_chunks):
+        chunk = events[c * n // n_chunks : (c + 1) * n // n_chunks]
+        eng.apply_batch(spark, events_df(spark, chunk), epoch=c)
+    # retried epoch (foreachBatch redelivery) must be a no-op
+    res = eng.apply_batch(spark, events_df(spark, events[3 * n // 5 : 4 * n // 5]), epoch=3)
+    assert not res["applied"] and res["reason"] == "epoch-fenced"
+    assert_final_state(spark, eng, state, schema)
+    # lineage: one row set per epoch, counts sum to total events applied
+    lin = eng.lineage_table().read(spark)
+    per_epoch = {r["epoch"]: r["total"] for r in
+                 lin.groupBy("epoch").agg(F.sum("event_count").alias("total")).collect()}
+    assert set(per_epoch) == set(range(n_chunks))
+    n_data_events = sum(1 for e in events if e["op"] not in
+                        ("add_column", "rename_column", "widen_column"))
+    assert sum(per_epoch.values()) == n_data_events  # incl. duplicate deliveries
+    assert lin.where(F.col("snapshot_id").isNull()).count() == 0
+
+
+def test_streaming_replay_with_resume(spark, tmp_path, fixture):
+    base, events, state, schema = fixture
+    events_dir = str(tmp_path / "events")
+    write_event_chunks(events, events_dir, n_chunks=6)
+    eng = CdcEngine(str(tmp_path / "repos"), num_buckets=8)
+    eng.bootstrap(spark, base_df(spark, base))
+    ckpt = str(tmp_path / "ckpt")
+
+    # first run: only half the files exist → stream drains, then "crashes"
+    q = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=2)
+    q.awaitTermination()
+    # more of the binlog arrives; resume from checkpoint
+    q2 = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=2)
+    q2.awaitTermination()
+    # re-run once more: everything already processed → no state change
+    snap_before = eng.table().current_snapshot()["snapshot_id"]
+    q3 = eng.run_stream(spark, events_dir, ckpt)
+    q3.awaitTermination()
+    assert_final_state(spark, eng, state, schema)
+    lin = eng.lineage_table().read(spark)
+    assert lin.count() > 0
+
+
+def test_content_expr_matches_python(spark):
+    from datavec_spark.streaming.datagen import content_for
+
+    df = spark.createDataFrame(
+        [("org1/p1", "src/a.py", 7), ("org2/p9", "src/b.rs", 123456)],
+        "repo string, path string, seq long",
+    )
+    got = df.select(content_expr(F.col("repo"), F.col("path"), F.col("seq")).alias("c")).collect()
+    want = [content_for("org1/p1", "src/a.py", 7), content_for("org2/p9", "src/b.rs", 123456)]
+    assert [r["c"] for r in got] == want

@@ -1,0 +1,98 @@
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datavec_spark.sources.icelite import CommitConflict, IceliteTable
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+        T.StructField("_seq", T.LongType()),
+        T.StructField("_deleted", T.BooleanType()),
+    ]
+)
+
+
+def make(spark, tmp_path, rows, **kw):
+    t = IceliteTable.create(str(tmp_path / "t"), SCHEMA, key_cols=["k"], num_buckets=4, **kw)
+    if rows:
+        t.overwrite(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False), ("b", 2, 0, False)])
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+    assert got == [("a", 1, 0, False), ("b", 2, 0, False)]
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([("c", 3, 1, False)], SCHEMA))
+    assert t.read(spark).count() == 2
+    assert t.read(spark, snapshot_id=s1).count() == 1  # time travel
+
+
+def test_merge_lww_and_tombstones(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 5, False), ("b", 2, 5, False)])
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    changes = spark.createDataFrame(
+        [
+            ("a", 10, 9, False, "upsert"),   # newer seq → wins
+            ("b", 99, 3, False, "upsert"),   # older seq → loses
+            ("c", 7, 8, True, "upsert"),     # tombstone insert
+        ],
+        ch_schema,
+    )
+    res = t.merge_cdc(spark, changes, epoch=0)
+    assert res["applied"]
+    rows = {r["k"]: (r["v"], r["_seq"], r["_deleted"]) for r in t.read(spark).collect()}
+    assert rows == {"a": (10, 9, False), "b": (2, 5, False), "c": (7, 8, True)}
+    # epoch fence: same epoch again is a no-op
+    res2 = t.merge_cdc(spark, changes, epoch=0)
+    assert not res2["applied"]
+    # bucket copy-on-write: only touched buckets rewritten
+    snap = t.current_snapshot()
+    assert snap["summary"]["touched-buckets"] <= 4
+
+
+def test_schema_evolution_by_field_id(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    t.add_column("stars", "int")
+    t.rename_column("stars", "stargazers")
+    t.widen_column("stargazers", "long")
+    t.rename_column("v", "value")
+    df = t.read(spark)
+    assert [f.name for f in df.schema.fields] == ["k", "value", "_seq", "_deleted", "stargazers"]
+    assert dict(df.dtypes)["stargazers"] == "bigint"
+    row = df.collect()[0]
+    assert row["value"] == 1 and row["stargazers"] is None  # old file read through rename+add
+    t.append(spark.createDataFrame([("b", 2, 1, False, 77)], t.schema_struct()))
+    got = {r["k"]: r["stargazers"] for r in t.read(spark).collect()}
+    assert got == {"a": None, "b": 77}
+
+
+def test_illegal_widen_rejected(spark, tmp_path):
+    t = make(spark, tmp_path, [])
+    with pytest.raises(ValueError):
+        t.widen_column("v", "string")
+
+
+def test_commit_conflict_detection(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    meta, version = t.metadata(), t._version()
+    t.append(spark.createDataFrame([("b", 2, 1, False)], SCHEMA))  # someone else commits
+    with pytest.raises(CommitConflict):
+        t._write_metadata(meta, expected_version=version)
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([("a", i, i + 1, False)], SCHEMA))
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0
+    assert t.read(spark).collect()[0]["v"] == 2

@@ -1,0 +1,150 @@
+"""Sequence (time-series) ops: DataVec sequences as windowed DataFrames.
+
+A DataVec sequence (grouped rows ordered in-group,
+transform/sequence/ConvertToSequence.java:41) is here simply a DataFrame
+plus (key columns, order column) — per-sequence ops are window functions
+over Window.partitionBy(keys).orderBy(order), with none of the reference's
+groupByKey whole-group materialization (SparkTransformExecutor.java:216-236)
+or __SEQ_UUID bookkeeping (DataFrames.java:44-45). Group state never has to
+fit in memory; skewed keys stay a shuffle-partition problem AQE can split.
+
+Ops mirror SURVEY.md §2.7: moving-window reduce, sequence difference,
+offset (lag/lead), trim, split by time gap (sessionization), split by max
+length, tumbling/sliding time windows, reduce-by-window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavec_spark.operators.transforms import op
+
+_WINDOW_AGGS = {"Mean": F.avg, "Min": F.min, "Max": F.max, "Sum": F.sum,
+                "Count": F.count, "Stdev": F.stddev_samp}
+
+
+def _w(keys: list[str], order: str):
+    return Window.partitionBy(*keys).orderBy(order)
+
+
+@op("moving_window_reduce")  # SequenceMovingWindowReduceTransform.java:54
+def _moving_window_reduce(df, keys, order, column, window_size, reduce_op, out=None,
+                          edge_mode="Default", edge_value=None):
+    w = _w(keys, order).rowsBetween(-(window_size - 1), 0)
+    e = _WINDOW_AGGS[reduce_op](F.col(column)).over(w)
+    out = out or f"{reduce_op.lower()}({window_size})({column})"
+    if edge_mode == "SpecifiedValue":
+        rn = F.row_number().over(_w(keys, order))
+        e = F.when(rn < window_size, F.lit(edge_value)).otherwise(e)
+    return df.withColumn(out, e)
+
+
+@op("sequence_difference")  # SequenceDifferenceTransform.java:50
+def _sequence_difference(df, keys, order, column, lookback=1, out=None,
+                         first_step_mode="Default", first_step_value=None):
+    lagged = F.lag(F.col(column), lookback).over(_w(keys, order))
+    diff = F.col(column) - lagged
+    if first_step_mode == "SpecifiedValue":
+        e = F.coalesce(diff, F.lit(first_step_value))
+    else:  # Default: first `lookback` steps → 0 (x(t) - x(t) semantics)
+        e = F.coalesce(diff, F.col(column) - F.col(column))
+    return df.withColumn(out or column, e)
+
+
+@op("sequence_offset")  # SequenceOffsetTransform.java:57 (lead/lag shift)
+def _sequence_offset(df, keys, order, columns, offset, mode="InPlace",
+                     edge_mode="TrimSequence", edge_value=None):
+    w = _w(keys, order)
+    shift = (lambda c: F.lag(c, offset).over(w)) if offset > 0 else (lambda c: F.lead(c, -offset).over(w))
+    new = {}
+    for c in columns:
+        e = shift(F.col(c))
+        if edge_mode == "SpecifiedValue":
+            e = F.coalesce(e, F.lit(edge_value))
+        new[c if mode == "InPlace" else f"{c}_offset"] = e
+    out = df.withColumns(new)
+    if edge_mode == "TrimSequence":
+        marker = next(iter(new))
+        out = out.where(F.col(marker).isNotNull())
+    return out
+
+
+@op("sequence_trim")  # SequenceTrimTransform.java:38
+def _sequence_trim(df, keys, order, n, from_start=True):
+    w = _w(keys, order)
+    if from_start:
+        rn = F.row_number().over(w)
+        return df.withColumn("_rn", rn).where(F.col("_rn") > n).drop("_rn")
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(F.col(order).desc()))
+    return df.withColumn("_rn", rn).where(F.col("_rn") > n).drop("_rn")
+
+
+@op("sessionize")  # SequenceSplitTimeSeparation.java:43 → session ids
+def _sessionize(df, keys, ts_col, gap_seconds, out="session_id"):
+    """Split sequences where the time gap exceeds the threshold: a new
+    sub-sequence (session) starts at every gap > threshold. Batch form of
+    F.session_window, expressed with cumulative window sums so it stays
+    incremental-friendly and codegen'd."""
+    w = _w(keys, ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.col(ts_col).cast("double") - prev.cast("double") > F.lit(gap_seconds))
+    ).cast("long")
+    return df.withColumn(out, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+
+
+@op("split_max_length")  # SplitMaxLengthSequence.java:38
+def _split_max_length(df, keys, order, max_length, out="chunk_id"):
+    rn = F.row_number().over(_w(keys, order))
+    return df.withColumn(out, ((rn - 1) / max_length).cast("long"))
+
+
+@op("time_window")  # TimeWindowFunction.java:44 (tumbling) / OverlappingTimeWindowFunction.java:56 (sliding)
+def _time_window(df, ts_col, window_duration, slide_duration=None, offset=None,
+                 out="window"):
+    wcol = F.window(F.col(ts_col), window_duration, slide_duration, offset)
+    return df.withColumn(out, wcol)
+
+
+@op("reduce_sequence_by_window")  # ReduceSequenceByWindowTransform.java:42
+def _reduce_sequence_by_window(df, keys, ts_col, window_duration, ops,
+                               slide_duration=None, aliases=None):
+    from datavec_spark.operators.reducers import _agg_expr
+
+    aliases = aliases or {}
+    aggs = []
+    for column, col_ops in ops.items():
+        for r in [col_ops] if isinstance(col_ops, str) else col_ops:
+            name = aliases.get(f"{r}({column})", f"{r.lower()}({column})")
+            aggs.append(_agg_expr(r, column, None, None, 0.05).alias(name))
+    return df.groupBy(*keys, F.window(F.col(ts_col), window_duration, slide_duration)).agg(*aggs)
+
+
+@op("sorted_rank")  # CalculateSortedRank.java:53 — 0-based global rank
+def _sorted_rank(df, column, out="rank", ascending=True):
+    order = F.col(column).asc() if ascending else F.col(column).desc()
+    # NOTE scale: a single global window is a 1-partition sort. For large
+    # tables prefer rank_scalable() below.
+    return df.withColumn(out, F.row_number().over(Window.orderBy(order)) - 1)
+
+
+def rank_scalable(df: DataFrame, column: str, out: str = "rank", ascending: bool = True) -> DataFrame:
+    """Global 0-based rank without a single-partition window: sort-partition
+    ranks + per-partition offsets (the zipWithIndex pattern,
+    SparkTransformExecutor.java:292-311, restated on DataFrames)."""
+    order = F.col(column).asc() if ascending else F.col(column).desc()
+    parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order) \
+               .sortWithinPartitions(order)
+    pid = F.spark_partition_id()
+    with_pid = parted.withColumn("_pid", pid)
+    counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(order)) - 1
+    return with_pid.withColumn(out, local_rn + F.element_at(omap, F.col("_pid"))).drop("_pid")

@@ -1,0 +1,228 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+Exact (hash groupBy), near-dup fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup. Everything runs as DataFrame ops:
+hashing is JVM-side (xxhash64 / sha2); candidate generation is always a
+*bucketed equi-join* (LSH band / simhash band / shingle inverted index),
+never an n² cross join — the property that keeps these viable at 10^9 docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datavec_spark.functions.text import char_shingles, fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dup groups: (content sha256, group size, member ids, keeper).
+    One shuffle on the hash; map-side partial agg."""
+    h = F.sha2(F.col(text_col), 256).alias("content_sha")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_sha")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per identical content (deterministic)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def near_dup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint groups (catches whitespace/punct-only
+    variants that exact hashing misses)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    use_words: bool = True,
+) -> DataFrame:
+    """Candidate pairs with exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: (id, shingle) self-join on shingle gives
+    |A∩B| per pair; |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle —
+    a common-shingle hot key can fan out, so extremely frequent shingles
+    (stop-shingles) are dropped via a document-frequency cap, the standard
+    trick that bounds the blowup at corpus scale."""
+    sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
+    sh = sh.persist()
+    # stop-shingle cap: drop shingles present in >1% of docs (min 100)
+    n_docs = df.count()
+    cap = max(int(n_docs * 0.01), 100)
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= cap)
+    sh_f = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: per doc, min over shingles of xxhash64(shingle, seed_i)
+    for num_hashes seeds — one shuffle (groupBy id), all JVM-side."""
+    sh = char_shingles(df, text_col, id_col, k)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, num_hashes: int = 64, bands: int = 16,
+    threshold: float = 0.7, verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs.
+
+    shingle → minhash → band (rows/band hashes concatenated) → bucket join
+    on (band_id, band_hash) → candidate pairs → optional exact-Jaccard
+    verify. Candidate generation cost is Σ_bucket |bucket|², bounded by the
+    band hash; the join is a plain shuffled equi-join that scales out."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
+                 .select(id_col, "bb.band", "bb.bh")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # exact signature-Jaccard estimate on candidates (cheap: join sigs back)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig_b"))
+    est = F.size(F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                                     lambda x, y: x == y), lambda v: v)) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sign of Σ±1 across token
+    hashes. Expressed as exploded token rows + one groupBy — no Python."""
+    from datavec_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    aggs = []
+    for i in range(bits):
+        bit = F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit signature into `bands` chunks —
+    any pair within hamming distance < bands shares ≥1 exact band
+    (pigeonhole) → bucket join per band, then exact popcount verify."""
+    sig = simhash(df, text_col, id_col).persist()
+    width = 64 // bands
+    mask = (1 << width) - 1
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bh"))
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.col("simhash"),
+                         F.explode(F.array(*band_structs)).alias("bb")) \
+                 .select(id_col, "simhash", "bb.band", "bb.bh")
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, planes: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dups via random-hyperplane LSH buckets, exact
+    cosine verify inside buckets. Hyperplanes are deterministic from seed;
+    the dot products are native array expressions (JVM)."""
+    import numpy as np
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    hyper = rng.randn(planes, dim)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
+        dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        sig = sig.bitwiseOR(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
+    base = df.select(F.col(id_col), v.alias("_v"), (v if False else norm).alias("_n"), sig.alias("_sig"))
+    a, b_ = base.alias("a"), base.alias("b")
+    dot_ab = F.aggregate(F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+                         F.lit(0.0), lambda s, x: s + x)
+    cos = dot_ab / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b_, (F.col("a._sig") == F.col("b._sig"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("cosine", F.round(cos, 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+    )

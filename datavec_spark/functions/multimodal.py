@@ -1,0 +1,125 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+Mirrors the reference's media readers (datavec-data/datavec-data-image/...
+ImageRecordReader.java:33, WavFileRecordReader.java:32,
+CodecRecordReader.java:56) restated for Spark: media lives in a
+`binary` column (from `spark.read.format("binaryFile")` or a lake table)
+with a metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched pandas stages over mapInPandas.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode kernels are gated behind import-try with a deterministic fake
+(bytes-hash-seeded arrays) — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is real and tested; swapping in a real codec
+is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+try:  # real decoder if available (not in this container)
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _fake_decode(data: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Deterministic stand-in decoder: pixels seeded from content sha256."""
+    seed = int.from_bytes(hashlib.sha256(data or b"").digest()[:4], "big")
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Ingest a media directory: (path, modificationTime, length, content)."""
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def decode_and_resize(
+    df: DataFrame, content_col: str = "content", height: int = 32, width: int = 32,
+    channels: int = 3,
+) -> DataFrame:
+    """binary → flattened float pixel array (h*w*c) + shape metadata, via
+    mapInPandas (Arrow batches; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("pixels", T.ArrayType(T.FloatType())),
+           T.StructField("meta", IMAGE_META)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels, metas = [], []
+            for data in pdf[content_col]:
+                if _HAS_PIL:
+                    raise NotImplementedError(
+                        "real image decode: wire PIL.Image.open here")
+                arr = _fake_decode(bytes(data) if data is not None else b"", height, width, channels)
+                pixels.append(arr.astype(np.float32).ravel() / 255.0)
+                metas.append({"width": width, "height": height,
+                              "channels": channels, "format": "fake"})
+            pdf = pdf.copy()
+            pdf["pixels"] = pixels
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def image_features(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
+    """Cheap per-image features from the decoded array — native exprs."""
+    p = F.col(pixels_col)
+    mean = F.aggregate(p, F.lit(0.0), lambda s, x: s + x) / F.size(p)
+    return df.withColumns({
+        "px_mean": F.round(mean, 6),
+        "px_min": F.array_min(p),
+        "px_max": F.array_max(p),
+    })
+
+
+def frame_sample(
+    df: DataFrame, content_col: str = "content", n_frames: int = 4,
+    height: int = 16, width: int = 16,
+) -> DataFrame:
+    """Video frame sampling stub: binary → n_frames decoded frames
+    (deterministic fake), one output row per frame (UDTF-shaped expansion,
+    the BaseSequenceExpansionTransform.java:39 pattern)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [T.StructField("frame_idx", T.IntegerType()),
+           T.StructField("frame", T.ArrayType(T.FloatType()))]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[content_col]) if row[content_col] is not None else b""
+                for i in range(n_frames):
+                    arr = _fake_decode(data + bytes([i]), height, width, 1)
+                    out = {k: v for k, v in row.items() if k != content_col}
+                    out["frame_idx"] = i
+                    out["frame"] = arr.astype(np.float32).ravel() / 255.0
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(kernel, out_schema)

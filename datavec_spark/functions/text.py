@@ -1,0 +1,148 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All expressions are native Column exprs (whole-stage codegen, zero Python
+in the hot path): token counting, quality scoring, language-ID heuristic,
+document fingerprinting. Designed for the `documents` table
+(doc_id, text, lang, source, n_chars) but column-name parameterized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword seeds for the n-gram/stopword language-ID
+# heuristic (public common-word lists, truncated for expression size)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty-safe)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-like sub-word proxy: word-boundary pieces + punctuation as their
+    own tokens — a deterministic stand-in for a real tokenizer's count."""
+    pieces = F.split(col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda t: (t != "") & (t != " ")))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.greatest(F.length(col), F.lit(1))
+
+
+def alpha_ratio(col: Column) -> Column:
+    alpha = F.regexp_replace(col, r"[^A-Za-z]", "")
+    return F.length(alpha) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens(col), F.lower)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length, punctuation, alpha and
+    stopword ratios (the classic Gopher/C4-style cheap filters)."""
+    length_ok = (F.length(col) >= 50) & (F.length(col) <= 100_000)
+    mwl = mean_word_length(col)
+    word_len_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    punct_ok = punct_ratio(col) <= 0.3
+    alpha_ok = alpha_ratio(col) >= 0.5
+    sw_ok = stopword_ratio(col) >= 0.01
+    score = (
+        length_ok.cast("double") * 0.2
+        + word_len_ok.cast("double") * 0.2
+        + punct_ok.cast("double") * 0.2
+        + alpha_ok.cast("double") * 0.2
+        + sw_ok.cast("double") * 0.2
+    )
+    return F.round(score, 2)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID over the seed lists; 'unknown' when no
+    stopwords hit. Pure expressions — scales as a scan."""
+    toks = F.transform(tokens(col), F.lower)
+    best = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        improved = hits > best_hits
+        best = F.when(improved, F.lit(lang)).otherwise(best)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: normalize (lowercase, collapse
+    whitespace, strip punctuation) then 64-bit hash — the rolling-hash
+    style content fingerprint for near-identical detection."""
+    norm = F.regexp_replace(F.lower(col), r"[^\w\s]", "")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    return F.xxhash64(F.trim(norm))
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Distinct (id, shingle) rows of character k-grams via explode —
+    distributed shingling without Python. Scale note: output is
+    ~len(text) rows per doc before distinct; filter ids/text upstream."""
+    eligible = df.where(F.length(F.col(text_col)) >= k)
+    n = F.length(F.col(text_col)) - (k - 1)
+    return (
+        eligible.select(
+            F.col(id_col), F.col(text_col), F.explode(F.sequence(F.lit(1), n)).alias("pos")
+        )
+        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) rows of word k-grams (n-gram Jaccard basis)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    with_toks = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") >= k)
+    n = F.size(F.col("_toks")) - (k - 1)
+    return (
+        with_toks.select(F.col(id_col), F.col("_toks"),
+                         F.explode(F.sequence(F.lit(0), n - 1)).alias("pos"))
+        .select(F.col(id_col),
+                F.array_join(F.slice(F.col("_toks"), F.col("pos") + 1, k), " ").alias("shingle"))
+        .distinct()
+    )
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_bpe_tokens": bpe_ish_token_count(c),
+            "punct_ratio": F.round(punct_ratio(c), 4),
+            "alpha_ratio": F.round(alpha_ratio(c), 4),
+            "stopword_ratio": F.round(stopword_ratio(c), 4),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

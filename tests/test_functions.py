@@ -1,0 +1,161 @@
+"""Analysis/quality, text, dedup, similarity, multimodal function tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavec_spark.functions.analysis import analyze, analyze_quality, most_frequent
+from datavec_spark.functions.dedup import (
+    dedup_exact,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    near_dup_fingerprint,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from datavec_spark.functions.similarity import IvfIndex, cosine_topk, train_ivf_centroids
+from datavec_spark.functions.text import add_text_features
+from datavec_spark.plans.schema import EngineSchema
+
+
+def test_analyze_stats_and_histograms(spark):
+    df = spark.createDataFrame([(i, float(i), f"s{i}") for i in range(-2, 8)],
+                               "i int, d double, s string")
+    a = analyze(df, hist_buckets=5)
+    ci = a["columns"]["i"]
+    assert (ci["count"], ci["min"], ci["max"], ci["mean"]) == (10, -2, 7, 2.5)
+    assert ci["countZero"] == 1 and ci["countPositive"] == 7 and ci["countNegative"] == 2
+    assert a["columns"]["s"]["unique"] == 10
+    hist = a["histograms"]["i"]
+    assert sum(b["count"] for b in hist) == 10 and len(hist) == 5
+
+
+def test_analyze_quality(spark):
+    schema = (EngineSchema.builder()
+              .add_string("name", regex="[a-z]+")
+              .add_integer("age", min_value=0).build())
+    df = spark.createDataFrame([("bob", 3), ("UPPER", 4), (None, -1), ("", 5)],
+                               schema.to_struct())
+    q = analyze_quality(df, schema)
+    assert q["columns"]["name"]["valid"] == 1      # 'bob'
+    assert q["columns"]["name"]["invalid"] == 2    # 'UPPER', ''
+    assert q["columns"]["name"]["missing"] == 1
+    assert q["columns"]["name"]["empty"] == 1
+    assert q["columns"]["age"]["invalid"] == 1     # -1
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog and runs away to the forest."),
+         (2, "der und die das ist nicht mit von zu ein der und die das ist")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in add_text_features(df).collect()}
+    assert out[1]["n_tokens"] == 15
+    assert out[1]["lang_pred"] == "en" and out[2]["lang_pred"] == "de"
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog near the door"),
+        (1, "the cat sat on the mat and looked at the dog near the door"),   # exact dup of 0
+        (2, "The cat sat on the mat, and looked at the dog near the door!"), # near dup (punct/case)
+        (3, "the cat sat on the mat and looked at the dog near the gate"),   # near dup (1 word)
+        (4, "completely different content about spark engines and parquet files here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["member_ids"] == [0, 1] and groups[0]["keep_id"] == 0
+    assert dedup_exact(docs).count() == 4
+
+
+def test_fingerprint_near_dup(spark, docs):
+    groups = near_dup_fingerprint(docs).collect()
+    # normalization folds 0, 1 and 2 together
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs  # one-word change, high trigram overlap
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, k=5, num_hashes=32, bands=8, threshold=0.6).collect()}
+    assert (0, 1) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 4) not in pairs
+
+
+def test_embedding_near_dups_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, threshold=0.95, planes=8).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+    topk = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in topk] == [0, 1]
+
+
+def test_ivf_index(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = train_ivf_centroids(df, n_centroids=4, iters=2)
+    idx = IvfIndex(df, cents)
+    q = [float(x) for x in vecs[17]]
+    got = idx.search(q, k=1, nprobe=2).collect()
+    # brute force agrees (the query's own vector must be the top hit)
+    assert got[0]["vec_id"] == 17
+
+
+def test_multimodal_decode_plumbing(spark):
+    from datavec_spark.functions.multimodal import decode_and_resize, frame_sample, image_features
+
+    df = spark.createDataFrame([(1, bytearray(b"imgbytes-a")), (2, bytearray(b"imgbytes-b"))],
+                               "id int, content binary")
+    dec = decode_and_resize(df, height=4, width=4, channels=1)
+    rows = dec.collect()
+    assert len(rows[0]["pixels"]) == 16
+    assert rows[0]["meta"]["width"] == 4
+    # determinism: same bytes → same pixels
+    again = decode_and_resize(df, height=4, width=4, channels=1).collect()
+    assert rows[0]["pixels"] == again[0]["pixels"]
+
+    feats = image_features(dec).collect()[0]
+    assert 0.0 <= feats["px_mean"] <= 1.0
+
+    frames = frame_sample(df, n_frames=3, height=2, width=2)
+    assert frames.count() == 6 and len(frames.collect()[0]["frame"]) == 4
+
+
+def test_most_frequent(spark, docs):
+    mf = most_frequent(docs.select(F.explode(F.split("text", " ")).alias("w")), "w", 1)
+    assert mf.collect()[0]["w"] == "the"

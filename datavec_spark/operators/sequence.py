@@ -24,8 +24,11 @@ _WINDOW_AGGS = {"Mean": F.avg, "Min": F.min, "Max": F.max, "Sum": F.sum,
                 "Count": F.count, "Stdev": F.stddev_samp}
 
 
-def _w(keys: list[str], order: str):
-    return Window.partitionBy(*keys).orderBy(order)
+def _w(keys: list[str], order):
+    """order: a column name or list of names (tie-breakers keep per-row
+    outputs deterministic when the primary order column has duplicates)."""
+    cols = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*keys).orderBy(*cols)
 
 
 @op("moving_window_reduce")  # SequenceMovingWindowReduceTransform.java:54
@@ -76,22 +79,24 @@ def _sequence_trim(df, keys, order, n, from_start=True):
     if from_start:
         rn = F.row_number().over(w)
         return df.withColumn("_rn", rn).where(F.col("_rn") > n).drop("_rn")
-    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(F.col(order).desc()))
+    ocols = [order] if isinstance(order, str) else list(order)
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in ocols]))
     return df.withColumn("_rn", rn).where(F.col("_rn") > n).drop("_rn")
 
 
 @op("sessionize")  # SequenceSplitTimeSeparation.java:43 → session ids
-def _sessionize(df, keys, ts_col, gap_seconds, out="session_id"):
+def _sessionize(df, keys, ts_col, gap_seconds, out="session_id", order=None):
     """Split sequences where the time gap exceeds the threshold: a new
     sub-sequence (session) starts at every gap > threshold. Batch form of
     F.session_window, expressed with cumulative window sums so it stays
-    incremental-friendly and codegen'd."""
-    w = _w(keys, ts_col)
+    incremental-friendly and codegen'd. `order` (default ts_col) may add
+    tie-breakers for deterministic per-row session ids."""
+    w = _w(keys, order or ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
-    is_new = (
-        prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > F.lit(gap_seconds))
-    ).cast("long")
+    # cast through timestamp so TIMESTAMP_NTZ sources work identically
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    prev_secs = prev.cast("timestamp").cast("double")
+    is_new = (prev.isNull() | (secs - prev_secs > F.lit(gap_seconds))).cast("long")
     return df.withColumn(out, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
 
 

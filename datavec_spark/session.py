@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle_partitions(master)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # direct-commit outputs: the v1 committer's sequential driver-side
+        # renames dominate small-file snapshot writes
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -363,6 +363,7 @@ class IceliteTable:
         op_col: str = "_op",
         epoch: int | None = None,
         extra_summary: dict[str, Any] | None = None,
+        extra_properties: dict[str, str] | None = None,
     ) -> dict:
         """Apply per-key winners (one row per key: op ∈ {upsert, delete},
         payload in current schema + seq_col) with last-writer-wins by
@@ -383,7 +384,9 @@ class IceliteTable:
         keys = self.key_cols(meta)
         assert keys, "merge_cdc requires key columns"
 
-        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        # persist: the change set is consumed twice (bucket pruning +
+        # merge write) and is typically the output of an aggregation
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta)).persist()
         touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
         target = self.read(spark, buckets=touched)
 
@@ -421,10 +424,16 @@ class IceliteTable:
             .select(*[pick(c).alias(c) for c in data_cols])
         )
 
-        new_files = self._write_data_files(merged, meta)
+        try:
+            new_files = self._write_data_files(merged, meta)
+        finally:
+            changes.unpersist()
         cur = self.current_snapshot()
         untouched = [f for f in (cur["files"] if cur else []) if f["bucket"] not in set(touched)]
-        props = {"cdc.last-epoch": str(epoch)} if epoch is not None else None
+        props = dict(extra_properties or {})
+        if epoch is not None:
+            props["cdc.last-epoch"] = str(epoch)
+        props = props or None
         snap_id = self._commit_snapshot(
             meta,
             version,

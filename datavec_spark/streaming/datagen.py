@@ -276,3 +276,53 @@ def generate_fixture(
     )
     chunks = write_event_chunks(events, os.path.join(out_dir, "events"), n_chunks)
     return base, events, chunks
+
+
+# ---------------------------------------------------------------------------
+# distributed (Spark-side) event generation for bench scale
+# ---------------------------------------------------------------------------
+
+
+def events_df_spark(spark, n_events: int, n_repos: int = 2000, paths_per_repo: int = 100,
+                    num_partitions: int = 64, zipf_pow: float = 3.0, dup_pct: int = 2):
+    """Generate the change stream entirely in the JVM (hash-derived, seedless
+    but deterministic): Zipf-ish skewed repos via a power transform of a
+    uniform hash, 70/20/9 update/insert/delete mix (deletes of absent keys
+    are no-ops — harmless for throughput benches), content/commit identical
+    to the Python generator's formula modulo the seq-keyed hash. Scales to
+    10^8+ rows with zero driver involvement; used by bench.py so the
+    10^10-event claim extrapolates from a measured sustained rate."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1, n_events + 1, 1, num_partitions).withColumnRenamed("id", "seq")
+    seq = F.col("seq")
+    u = F.pmod(F.xxhash64(seq, F.lit(7)), F.lit(1_000_000)) / 1_000_000.0
+    ridx = F.least(F.floor(F.lit(n_repos) * F.pow(u, F.lit(zipf_pow))).cast("int"),
+                   F.lit(n_repos - 1))
+    pidx = F.pmod(F.xxhash64(seq, F.lit(13)), F.lit(paths_per_repo)).cast("int")
+    repo = F.concat(F.lit("org"), (ridx / 10).cast("int").cast("string"),
+                    F.lit("/project"), ridx.cast("string"))
+    ext = F.element_at(F.array(*[F.lit(e) for e in EXTS]), F.pmod(pidx, F.lit(len(EXTS))) + 1)
+    path = F.concat(F.lit("src/module_"), (pidx / 20).cast("int").cast("string"),
+                    F.lit("/file_"), pidx.cast("string"), F.lit("."), ext)
+    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), F.pmod(pidx, F.lit(len(EXTS))) + 1)
+    d = F.pmod(F.xxhash64(seq, F.lit(23)), F.lit(100))
+    op = F.when(d < 9, "delete").when(d < 29, "insert").otherwise("update")
+    jitter = F.pmod(F.xxhash64(seq, F.lit(31)), F.lit(600_000_000)) - 300_000_000
+    ts = F.timestamp_micros((F.lit(BASE_TS_US) + seq * 50_000 + jitter).cast("long"))
+    h = F.sha2(F.concat_ws("|", repo, path, seq.cast("string")), 256)
+    k = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 8) + 1
+    content = F.when(op == "delete", F.lit(None).cast("string")).otherwise(F.repeat(h, k))
+    commit = F.when(op == "delete", F.lit(None).cast("string")).otherwise(
+        F.substring(F.sha2(F.concat_ws("|", F.lit("c"), repo, path, seq.cast("string")), 256), 1, 40))
+    out = df.select(
+        seq, ts.alias("ts"), op.alias("op"), repo.alias("repo"), path.alias("path"),
+        commit.alias("commit"),
+        F.when(op == "delete", F.lit(None).cast("string")).otherwise(lang).alias("lang"),
+        content.alias("content"),
+        F.lit(None).cast(
+            "struct<col_name:string,new_name:string,new_type:string>"
+        ).alias("schema_change"),
+    )
+    dups = out.where(F.pmod(F.xxhash64(seq, F.lit(41)), F.lit(100)) < dup_pct)
+    return out.unionByName(dups)

@@ -156,6 +156,15 @@ class CdcEngine:
     ) -> dict:
         """Apply one epoch of the change stream. Idempotent per epoch."""
         table = self.table()
+        # fast path: a fenced epoch (foreachBatch redelivery after restart)
+        # has fully committed — skip all computation, not just the commit.
+        # If the crash hit between the merge commit and the lineage write,
+        # lineage lags the fence: fall through so it gets recomputed (the
+        # merge itself stays a no-op via its own fence).
+        if epoch is not None and epoch <= table.last_epoch():
+            lin_epoch = int(self.lineage_table().properties().get("lineage.last-epoch", "-1"))
+            if lin_epoch >= epoch:
+                return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
         batch_df = batch_df.persist()
         try:
             # 1. schema-evolution ops: tiny (~1%), driver-serialized in seq
@@ -216,11 +225,21 @@ class CdcEngine:
                 .drop("op")
             )
 
-            # 4. lineage metrics per bucket (partition) incl. late-event count
-            max_ts = bound.agg(F.max("ts")).collect()[0][0]
-            if max_ts is None:  # empty trigger (no data events this epoch)
-                return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
-            late_cut = F.lit(max_ts) - F.expr(f"INTERVAL {late_delay_seconds} SECONDS")
+            # 4. lineage metrics per bucket (partition) in ONE pass: the
+            #    late-event cut is the stream watermark carried in the table
+            #    property cdc.max-ts (max event time of all prior batches,
+            #    advanced atomically with each merge commit) minus the
+            #    allowed delay — an event is late relative to stream
+            #    progress *before* its batch, which is the watermark
+            #    semantics, and saves a separate max(ts) job per epoch.
+            prev_max_us = table.properties().get("cdc.max-ts-us")
+            if prev_max_us is not None:
+                late_cut = F.timestamp_micros(
+                    F.lit(int(prev_max_us) - late_delay_seconds * 1_000_000)
+                )
+                late_expr = F.sum((F.col("ts") < late_cut).cast("long"))
+            else:
+                late_expr = F.lit(0).cast("long")
             lineage_rows = (
                 bound.groupBy(
                     F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(self.num_buckets))
@@ -231,12 +250,17 @@ class CdcEngine:
                     F.count(F.lit(1)).alias("event_count"),
                     F.min("seq").alias("min_seq"),
                     F.max("seq").alias("max_seq"),
-                    F.sum((F.col("ts") < late_cut).cast("long")).alias("late_count"),
+                    late_expr.alias("late_count"),
+                    F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_max_ts_us"),
                 )
                 .collect()
             )
+            if not lineage_rows:  # empty trigger (no data events this epoch)
+                return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
+            batch_max_us = max(r["_max_ts_us"] for r in lineage_rows)
+            new_max_us = max(batch_max_us, int(prev_max_us)) if prev_max_us else batch_max_us
 
-            # 5. epoch-fenced bucket-COW merge
+            # 5. epoch-fenced bucket-COW merge (watermark advances with it)
             result = table.merge_cdc(
                 spark,
                 changes,
@@ -244,6 +268,7 @@ class CdcEngine:
                 op_col="_op",
                 epoch=epoch,
                 extra_summary={"epoch": epoch},
+                extra_properties={"cdc.max-ts-us": str(new_max_us)},
             )
 
             # 6. lineage upsert — idempotent by (epoch, partition) key

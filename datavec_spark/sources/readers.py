@@ -1,0 +1,143 @@
+"""Sources: DataVec RecordReader parity on spark.read (SURVEY.md §2.1).
+
+Every reader returns a DataFrame; schema comes from an EngineSchema (typed,
+with restrictions) or inference. The reference's per-record readers
+(records/reader/impl/*) become declarative scans — splits, globbing and
+parallelism are Spark's; invalid-row policies map to parse modes
+(PERMISSIVE / DROPMALFORMED / FAILFAST, mirroring RegexSequenceRecordReader
+error modes FailOnInvalid/SkipInvalid, regex/RegexSequenceRecordReader.java:60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datavec_spark.plans.schema import EngineSchema
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: EngineSchema | None = None,
+    delimiter: str = ",",
+    quote: str = '"',
+    skip_lines: int = 0,
+    header: bool = False,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSVRecordReader parity (csv/CSVRecordReader.java:42): custom
+    delimiter/quote, skipNumLines, invalid-row policy."""
+    reader = (
+        spark.read.option("sep", delimiter).option("quote", quote)
+        .option("header", str(header).lower()).option("mode", mode)
+    )
+    if schema is not None:
+        reader = reader.schema(schema.to_struct())
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(path)
+    if skip_lines > 0:
+        # skipNumLines semantics are per-file: drop the first N rows of
+        # each input file (monotonic row position within the file)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > skip_lines).drop("_rn")
+    return df
+
+
+def read_csv_sequence(spark: SparkSession, path: str, schema: EngineSchema | None = None,
+                      **kw) -> DataFrame:
+    """CSVSequenceRecordReader parity (csv/CSVSequenceRecordReader.java:40):
+    one file = one sequence → sequence key column `_seq_file` + step index."""
+    from pyspark.sql import Window
+
+    df = read_csv(spark, path, schema, **kw).withColumn("_seq_file", F.input_file_name())
+    w = Window.partitionBy("_seq_file").orderBy(F.monotonically_increasing_id())
+    return df.withColumn("_seq_idx", F.row_number().over(w) - 1)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """LineRecordReader (impl/LineRecordReader.java:46): one line = one row."""
+    return spark.read.text(path)
+
+
+def read_regex_lines(spark: SparkSession, path: str, pattern: str,
+                     column_names: list[str], mode: str = "skip") -> DataFrame:
+    """RegexLineRecordReader (regex/RegexLineRecordReader.java:48): regex
+    capture groups → typed columns; non-matching lines dropped ('skip') or
+    failed ('fail') — RegexSequenceRecordReader.java:70 error modes."""
+    df = spark.read.text(path)
+    matched = df.withColumn("_m", F.regexp_extract_all(F.col("value"), F.lit(f"^{pattern}$"), 0))
+    ok = F.col("value").rlike(f"^{pattern}$")
+    if mode == "fail":
+        bad = df.where(~ok).limit(1).collect()
+        if bad:
+            raise ValueError(f"line does not match pattern: {bad[0]['value'][:200]}")
+    out = df.where(ok)
+    cols = [F.regexp_extract(F.col("value"), f"^{pattern}$", i + 1).alias(n)
+            for i, n in enumerate(column_names)]
+    return out.select(*cols)
+
+
+def read_whole_files(spark: SparkSession, path: str, label_from_dir: bool = False) -> DataFrame:
+    """FileRecordReader (impl/FileRecordReader.java:42): one file = one
+    record; optional label = parent directory name (the image-classification
+    layout, ImageRecordReader.java:33)."""
+    df = spark.read.format("binaryFile").load(path)
+    out = df.select(
+        F.col("path"), F.col("content"),
+        F.col("content").cast("string").alias("text"),
+    )
+    if label_from_dir:
+        out = out.withColumn("label", F.element_at(F.split(F.col("path"), "/"), -2))
+    return out
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: EngineSchema | None = None,
+               field_paths: dict[str, str] | None = None) -> DataFrame:
+    """JacksonRecordReader parity (jackson/JacksonRecordReader.java:60):
+    JSON records with FieldSelection paths (FieldSelection.java:36) →
+    select nested paths into flat typed columns."""
+    reader = spark.read
+    if schema is not None and field_paths is None:
+        reader = reader.schema(schema.to_struct())
+    df = reader.json(path)
+    if field_paths:
+        df = df.select(*[F.expr(expr).alias(name) for name, expr in field_paths.items()])
+    return df
+
+
+def read_libsvm(spark: SparkSession, path: str, num_features: int | None = None) -> DataFrame:
+    """SVMLight/LibSvm reader (misc/SVMLightRecordReader.java:53) via the
+    builtin libsvm source → (label double, features vector)."""
+    reader = spark.read.format("libsvm")
+    if num_features:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
+def from_collection(spark: SparkSession, rows: list, schema: EngineSchema | str) -> DataFrame:
+    """CollectionRecordReader / InMemoryRecordReader parity
+    (collection/CollectionRecordReader.java:39)."""
+    struct = schema.to_struct() if isinstance(schema, EngineSchema) else schema
+    return spark.createDataFrame(rows, struct)
+
+
+def compose_readers(left: DataFrame, right: DataFrame) -> DataFrame:
+    """ComposableRecordReader (impl/ComposableRecordReader.java:43): zip two
+    readers' records positionally — join on per-partition-stable row index."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    l = left.withColumn("_idx", F.row_number().over(w))
+    r = right.withColumn("_idx", F.row_number().over(w))
+    return l.join(r, "_idx").drop("_idx")
+
+
+def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
+    """JDBCRecordReader parity (datavec-jdbc/.../JDBCRecordReader.java:37)
+    — requires a JDBC driver jar on the classpath (not in this sandbox)."""
+    return spark.read.format("jdbc").option("url", url).option("query", query) \
+        .options(**options).load()

@@ -1,0 +1,115 @@
+"""Reader/writer round-trips (mirrors records/reader/impl/*Test.java)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from datavec_spark.plans.schema import EngineSchema
+from datavec_spark.sources.readers import (
+    compose_readers,
+    from_collection,
+    read_csv,
+    read_csv_sequence,
+    read_jsonl,
+    read_libsvm,
+    read_lines,
+    read_regex_lines,
+    read_whole_files,
+)
+from datavec_spark.sources.writers import write_csv, write_libsvm, write_lines, write_parquet_sorted
+
+
+def schema3():
+    return (EngineSchema.builder().add_integer("a").add_string("b").add_double("c").build())
+
+
+def test_csv_roundtrip_with_skip_and_delim(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f1.csv").write_text("#skip me\n1;x;0.5\n2;y;1.5\n")
+    df = read_csv(spark, str(src), schema3(), delimiter=";", skip_lines=1)
+    assert sorted(tuple(r) for r in df.collect()) == [(1, "x", 0.5), (2, "y", 1.5)]
+    out = str(tmp_path / "out")
+    write_csv(df, out, delimiter="|")
+    back = read_csv(spark, out, schema3(), delimiter="|")
+    assert back.count() == 2
+
+
+def test_csv_sequence_per_file(spark, tmp_path):
+    # csvsequence fixture shape: 3 files = 3 sequences (FIXTURES.md §B3)
+    src = tmp_path / "seqs"
+    src.mkdir()
+    for i in range(3):
+        (src / f"s{i}.csv").write_text("\n".join(f"{i},{j},{i + j}.0" for j in range(4)))
+    sch = EngineSchema.builder().add_integer("sid").add_integer("step").add_double("v").build()
+    df = read_csv_sequence(spark, str(src), sch)
+    assert df.count() == 12
+    per_file = df.groupBy("_seq_file").agg(F.count(F.lit(1)).alias("n"), F.max("_seq_idx").alias("mx"))
+    assert all(r["n"] == 4 and r["mx"] == 3 for r in per_file.collect())
+
+
+def test_regex_lines(spark, tmp_path):
+    # logtestdata shape (RegexLineRecordReader.java:48)
+    src = tmp_path / "logs"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "2024-01-01 12:00:00 INFO start\n2024-01-01 12:00:01 WARN slow\ngarbage line\n")
+    df = read_regex_lines(spark, str(src), r"(\S+ \S+) (\w+) (.*)", ["ts", "level", "msg"])
+    rows = sorted((r["level"], r["msg"]) for r in df.collect())
+    assert rows == [("INFO", "start"), ("WARN", "slow")]  # bad line skipped
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_regex_lines(spark, str(src), r"(\S+ \S+) (\w+) (.*)", ["t", "l", "m"], mode="fail")
+
+
+def test_whole_files_with_label(spark, tmp_path):
+    for label in ("cat", "dog"):
+        d = tmp_path / "data" / label
+        d.mkdir(parents=True)
+        (d / "x.txt").write_text(f"I am a {label}")
+    df = read_whole_files(spark, str(tmp_path / "data" / "*" / "*"), label_from_dir=True)
+    got = {r["label"]: r["text"] for r in df.collect()}
+    assert got == {"cat": "I am a cat", "dog": "I am a dog"}
+
+
+def test_jsonl_field_selection(spark, tmp_path):
+    src = tmp_path / "j"
+    src.mkdir()
+    (src / "d.jsonl").write_text(
+        '{"a": {"b": 1}, "tags": ["x", "y"], "name": "n1"}\n'
+        '{"a": {"b": 2}, "tags": ["z"], "name": "n2"}\n')
+    df = read_jsonl(spark, str(src), field_paths={"b": "a.b", "first_tag": "tags[0]", "name": "name"})
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [(1, "x", "n1"), (2, "z", "n2")]
+
+
+def test_libsvm_roundtrip(spark, tmp_path):
+    df = from_collection(spark, [(1.0, 0.0, 2.5), (0.0, 3.0, 0.0)], "label double, f1 double, f2 double")
+    out = str(tmp_path / "svm")
+    write_libsvm(df, out, "label", ["f1", "f2"])
+    lines = set()
+    for fn in os.listdir(out):
+        if fn.startswith("part"):
+            lines |= set(open(os.path.join(out, fn)).read().splitlines())
+    assert lines == {"1.0 2:2.5", "0.0 1:3.0"}
+    back = read_libsvm(spark, out, num_features=2)
+    assert back.count() == 2 and set(back.columns) == {"label", "features"}
+
+
+def test_lines_and_compose(spark, tmp_path):
+    src = tmp_path / "t"
+    src.mkdir()
+    (src / "a.txt").write_text("l1\nl2\n")
+    left = read_lines(spark, str(src)).withColumnRenamed("value", "l")
+    right = from_collection(spark, [("r1",), ("r2",)], "r string")
+    both = compose_readers(left.orderBy("l"), right.orderBy("r"))
+    assert sorted(tuple(r) for r in both.collect()) == [("l1", "r1"), ("l2", "r2")]
+
+
+def test_write_parquet_sorted_prunes(spark, tmp_path):
+    df = from_collection(spark, [(i, f"v{i}") for i in range(1000)], "k int, v string")
+    out = str(tmp_path / "sorted")
+    write_parquet_sorted(df, out, ["k"])
+    back = spark.read.parquet(out).where(F.col("k") == 500)
+    assert back.count() == 1

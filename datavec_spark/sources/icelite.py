@@ -333,6 +333,43 @@ class IceliteTable:
             properties_update=properties_update,
         )
 
+    def append_rows_local(
+        self,
+        rows: list[dict],
+        summary: dict[str, Any] | None = None,
+        properties_update: dict[str, str] | None = None,
+    ) -> int:
+        """Driver-side append of a tiny row set (e.g. per-epoch lineage,
+        ≤num_buckets rows) via pyarrow — no Spark job, same atomic commit.
+        Only valid for unbucketed tables (num_buckets == 1)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta, version = self.metadata(), self._version()
+        assert meta["partition_spec"]["num_buckets"] == 1, "local append needs num_buckets=1"
+        fields = self._fields(meta)
+        arrow_types = {
+            "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(), "string": pa.string(),
+            "binary": pa.binary(), "timestamp": pa.timestamp("us"), "date": pa.date32(),
+        }
+        arrays, names = [], []
+        for f in fields:
+            names.append(f["name"])
+            arrays.append(pa.array([r.get(f["name"]) for r in rows], type=arrow_types[f["type"]]))
+        rel_dir = os.path.join("data", uuid.uuid4().hex)
+        os.makedirs(os.path.join(self.location, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, f"{BUCKET_COL}=0", "local.parquet")
+        os.makedirs(os.path.dirname(os.path.join(self.location, rel)), exist_ok=True)
+        pq.write_table(pa.Table.from_arrays(arrays, names=names), os.path.join(self.location, rel))
+        entry = {"path": rel, "bucket": 0, "schema_id": meta["current_schema_id"]}
+        cur = self.current_snapshot()
+        files = (cur["files"] if cur else []) + [entry]
+        return self._commit_snapshot(
+            meta, version, files, {"operation": "append", **(summary or {})},
+            properties_update=properties_update,
+        )
+
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
         meta, version = self.metadata(), self._version()
         new_files = self._write_data_files(self._conform(df, meta), meta)

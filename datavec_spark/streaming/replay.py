@@ -278,12 +278,16 @@ class CdcEngine:
             lin = self.lineage_table()
             if lineage_rows and int(lin.properties().get("lineage.last-epoch", "-1")) < epoch:
                 rows = [
-                    (epoch, r["partition"], r["event_count"], r["min_seq"], r["max_seq"],
-                     r["late_count"] or 0, snap_id)
+                    {"epoch": epoch, "partition": r["partition"],
+                     "event_count": r["event_count"], "min_seq": r["min_seq"],
+                     "max_seq": r["max_seq"], "late_count": r["late_count"] or 0,
+                     "snapshot_id": snap_id}
                     for r in lineage_rows
                 ]
-                lin.append(
-                    spark.createDataFrame(rows, LINEAGE_SCHEMA),
+                # ≤num_buckets rows: driver-side pyarrow append — saves a full
+                # Spark job + commit per epoch (the lineage is tiny by design)
+                lin.append_rows_local(
+                    rows,
                     summary={"epoch": epoch},
                     properties_update={"lineage.last-epoch": str(epoch)},
                 )

@@ -529,6 +529,33 @@ class IceliteTable:
 
     # -- maintenance -----------------------------------------------------------
 
+    def compact(
+        self,
+        spark: SparkSession,
+        drop_tombstones_below_seq: int | None = None,
+        deleted_col: str = "_deleted",
+        seq_col: str = "_seq",
+    ) -> dict:
+        """Rewrite the table's current snapshot: coalesce each bucket's file
+        set to one file and physically drop tombstones whose seq is below
+        the given horizon (safe once the horizon is older than any event the
+        stream can still deliver — i.e. below the watermark's seq frontier).
+        The Iceberg analog is rewrite_data_files + a delete-cleanup pass.
+        At 10^10 events this is the job that keeps merge target reads
+        proportional to live data rather than to delete history."""
+        meta, version = self.metadata(), self._version()
+        df = self.read(spark)
+        dropped_expr = None
+        if drop_tombstones_below_seq is not None and deleted_col in df.columns:
+            dropped_expr = F.col(deleted_col) & (F.col(seq_col) < drop_tombstones_below_seq)
+            df = df.where(~dropped_expr)
+        new_files = self._write_data_files(df, meta)
+        snap_id = self._commit_snapshot(
+            meta, version, new_files,
+            {"operation": "compact", "tombstone-horizon": drop_tombstones_below_seq},
+        )
+        return {"snapshot_id": snap_id, "files": len(new_files)}
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop old snapshots' metadata entries and garbage-collect data files
         referenced only by them (Iceberg: expire_snapshots)."""

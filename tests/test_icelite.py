@@ -96,3 +96,18 @@ def test_expire_snapshots_gc(spark, tmp_path):
     removed = t.expire_snapshots(keep_last=1)
     assert removed > 0
     assert t.read(spark).collect()[0]["v"] == 2
+
+
+def test_compact_drops_old_tombstones_and_coalesces(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 5, False), ("b", 2, 6, True), ("c", 3, 90, True)])
+    t.append(spark.createDataFrame([("d", 4, 7, False)], SCHEMA))
+    n_files_before = len(t.current_snapshot()["files"])
+    res = t.compact(spark, drop_tombstones_below_seq=50)
+    rows = {r["k"]: (r["_seq"], r["_deleted"]) for r in t.read(spark).collect()}
+    # b's tombstone (seq 6 < 50) physically dropped; c's (seq 90) retained
+    assert rows == {"a": (5, False), "c": (90, True), "d": (7, False)}
+    assert len(t.current_snapshot()["files"]) <= n_files_before
+    # time travel to the pre-compaction snapshot still sees b's tombstone
+    snaps = t.snapshots()
+    prev = snaps[-2]["snapshot_id"]
+    assert t.read(spark, snapshot_id=prev).count() == 4

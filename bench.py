@@ -147,6 +147,34 @@ def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int =
             "final_rows": agg["n"], "final_checksum": int(agg["chk"])}
 
 
+def run_lww_core(spark, fixture_dir: str) -> dict:
+    """The CPU core of the replay in isolation: scan → vectorized transform
+    expressions (content sha verification) → in-batch LWW collapse →
+    checksum aggregation. No snapshot IO, no stage barriers beyond the agg —
+    isolates how the compute scales with cores (the end-to-end number mixes
+    in fixed commit/IO latency that a real cluster spreads across nodes)."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(os.path.join(fixture_dir, "events"))
+    n = events.count()
+    t0 = time.time()
+    data = events.where(F.col("op").isin("insert", "update", "delete"))
+    enriched = data.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    winners = (
+        enriched.groupBy("repo", "path")
+        .agg(F.max_by(F.struct("commit", "lang", "content", "content_sha", "op"), F.col("seq")).alias("w"),
+             F.max("seq").alias("seq"))
+        .select("repo", "path", "w.*", "seq")
+    )
+    chk = winners.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("repo", "path", F.coalesce("content_sha", F.lit("")))).alias("chk"),
+    ).collect()[0]
+    wall = time.time() - t0
+    return {"events": n, "wall_sec": round(wall, 3),
+            "events_per_sec": round(n / wall, 1), "keys": chk["n"], "checksum": int(chk["chk"])}
+
+
 def make_session(cores: int):
     from datavec_spark.session import get_spark
 
@@ -172,6 +200,11 @@ def scaling_worker(cores: int, n_ev: int):
     trials = [run_cdc_replay(spark, fx, num_buckets=64, epochs=1) for _ in range(3)]
     r = min(trials, key=lambda t: t["wall_sec"])
     r["trial_walls"] = [t["wall_sec"] for t in trials]
+    core_trials = [run_lww_core(spark, fx) for _ in range(3)]
+    core = min(core_trials, key=lambda t: t["wall_sec"])
+    r["core_rate"] = core["events_per_sec"]
+    r["core_wall"] = core["wall_sec"]
+    r["core_checksum"] = core["checksum"]
     print("SCALING_RESULT " + json.dumps(r))
     spark.stop()
 
@@ -240,6 +273,12 @@ def run_scaling():
         "final_rows": results[32]["final_rows"],
         "trial_walls_local8": results[8].get("trial_walls"),
         "trial_walls_local32": results[32].get("trial_walls"),
+        "core_rate_local8": results[8].get("core_rate"),
+        "core_rate_local32": results[32].get("core_rate"),
+        "core_scaling_efficiency": round(
+            (results[32]["core_rate"] / results[8]["core_rate"]) / 4.0, 3
+        ) if results[8].get("core_rate") else None,
+        "core_checksum_equal": results[8].get("core_checksum") == results[32].get("core_checksum"),
     }
     print(json.dumps(out))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

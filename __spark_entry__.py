@@ -403,6 +403,13 @@ def simhash_docs(spark, sf_dir):  # rows-only
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
+def near_dup_scalable_docs(spark, sf_dir):  # rows-only (LSH candidate recall)
+    from datavec_spark.functions.dedup import near_dup_pairs_scalable
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_pairs_scalable(d, k=5, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -534,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_lsh_docs": minhash_lsh_docs,
         "simhash_docs": simhash_docs,
+        "near_dup_scalable_docs": near_dup_scalable_docs,
         "embedding_topk": embedding_topk,
         "label_cosine_stats": label_cosine_stats,
         "ann_ivf_topk": ann_ivf_topk,

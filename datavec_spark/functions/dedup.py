@@ -144,6 +144,43 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_pairs_scalable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, num_hashes: int = 64, bands: int = 16, threshold: float = 0.8,
+) -> DataFrame:
+    """The corpus-scale near-dup path: MinHash+LSH generates candidates
+    (cost ∝ Σ_bucket |bucket|², sub-quadratic), then EXACT character-k-gram
+    Jaccard is computed only for candidates by joining their shingle sets.
+    Versus ngram_jaccard_pairs (full inverted-index self-join) this bounds
+    the pair explosion at 10^9 docs while returning true Jaccard values.
+
+    LSH recall caveat: a pair is considered only if at least one band
+    matches — with (num_hashes, bands)=(64,16) the s-curve puts ~50%
+    candidate probability near s≈0.5 and >99.9% at s≥0.8; choose bands
+    for the target threshold."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, k=k, num_hashes=num_hashes,
+                             bands=bands, verify=False)
+    sh = char_shingles(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(za, "id_a").join(zb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ±1 across token
     hashes. Expressed as exploded token rows + one groupBy — no Python."""

@@ -159,3 +159,16 @@ def test_multimodal_decode_plumbing(spark):
 def test_most_frequent(spark, docs):
     mf = most_frequent(docs.select(F.explode(F.split("text", " ")).alias("w")), "w", 1)
     assert mf.collect()[0]["w"] == "the"
+
+
+def test_near_dup_pairs_scalable_matches_exact(spark, docs):
+    from datavec_spark.functions.dedup import near_dup_pairs_scalable, ngram_jaccard_pairs
+
+    scalable = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in near_dup_pairs_scalable(docs, k=5, threshold=0.6).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=5, threshold=0.6, use_words=False).collect()}
+    # LSH recall at these thresholds must not miss the true near-dups,
+    # and every surviving pair carries the exact Jaccard value
+    assert set(scalable) == set(exact)
+    assert all(abs(scalable[p] - exact[p]) < 1e-9 for p in scalable)

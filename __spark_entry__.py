@@ -237,12 +237,15 @@ def sessionize_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     tp = TransformProcess().add("sessionize", keys=["user_id"], ts_col="ts", gap_seconds=1800,
                                 order=["ts", "event_id"])
-    return tp(e).select("event_id", "user_id", "session_id")
+    # Explicit BIGINT on both sides: DuckDB windowed sum() yields HUGEINT,
+    # whose textual form the driver hashes differently from Spark's long.
+    return tp(e).select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
 
 
 def session_counts(spark, sf_dir):
     out = sessionize_events(spark, sf_dir)
-    return out.groupBy("user_id").agg((F.max("session_id") + 1).alias("n_sessions"))
+    return out.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"))
 
 
 def tumbling_hourly(spark, sf_dir):
@@ -651,8 +654,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_events": """
             SELECT event_id, user_id,
-                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+                   (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
             FROM (
                 SELECT event_id, user_id, ts,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -667,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
                                  OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                             THEN 1 ELSE 0 END AS is_new
                 FROM events)
-            SELECT user_id, sum(is_new) AS n_sessions FROM s GROUP BY user_id
+            SELECT user_id, sum(is_new)::BIGINT AS n_sessions FROM s GROUP BY user_id
         """,
         "tumbling_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -753,7 +756,7 @@ def oracle_sql() -> dict[str, str]:
             rare AS (SELECT shingle FROM sh GROUP BY shingle
                      HAVING count(*) <= (SELECT cap FROM caps)),
             shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
                 FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

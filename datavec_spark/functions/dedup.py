@@ -62,15 +62,19 @@ def ngram_jaccard_pairs(
     |A∩B| per pair; |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle —
     a common-shingle hot key can fan out, so extremely frequent shingles
     (stop-shingles) are dropped via a document-frequency cap, the standard
-    trick that bounds the blowup at corpus scale."""
+    trick that bounds the blowup at corpus scale. The Jaccard reported is
+    over the *capped* shingle universe — numerator AND denominator both use
+    the filtered sets, so the cap narrows the universe consistently rather
+    than deflating the score (dropping a universally-shared shingle cannot
+    turn a true near-dup into a miss)."""
     sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
     sh = sh.persist()
     # stop-shingle cap: drop shingles present in >1% of docs (min 100)
     n_docs = df.count()
     cap = max(int(n_docs * 0.01), 100)
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= cap)
-    sh_f = sh.join(rare.select("shingle"), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_f = sh.join(rare.select("shingle"), "shingle").persist()
+    sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh_f.alias("a")
     b = sh_f.alias("b")
@@ -103,17 +107,37 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def _cap_buckets(buckets: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Drop LSH buckets with more than `bucket_cap` members — the bucket-level
+    analogue of the stop-shingle document-frequency cap. A degenerate corpus
+    (boilerplate-heavy: one band hash collecting 10^6 docs) otherwise yields
+    |bucket|² candidate pairs from a single bucket; docs in an over-full
+    bucket almost always share *other*, smaller buckets through their
+    remaining bands, so recall loss is confined to the pathological mass."""
+    if bucket_cap is None:
+        return buckets
+    small = (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .where(F.col("_bsz") <= bucket_cap)
+        .select("band", "bh")
+    )
+    return buckets.join(small, ["band", "bh"])
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, num_hashes: int = 64, bands: int = 16,
     threshold: float = 0.7, verify: bool = True,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs.
 
     shingle → minhash → band (rows/band hashes concatenated) → bucket join
     on (band_id, band_hash) → candidate pairs → optional exact-Jaccard
     verify. Candidate generation cost is Σ_bucket |bucket|², bounded by the
-    band hash; the join is a plain shuffled equi-join that scales out."""
+    band hash AND by `bucket_cap` (buckets above the cap are dropped — see
+    _cap_buckets); the join is a plain shuffled equi-join that scales out."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
     band_cols = []
@@ -122,6 +146,7 @@ def minhash_lsh_pairs(
         band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")) \
                  .select(id_col, "bb.band", "bb.bh")
+    buckets = _cap_buckets(buckets, bucket_cap)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -202,10 +227,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dups: band the 64-bit signature into `bands` chunks —
     any pair within hamming distance < bands shares ≥1 exact band
-    (pigeonhole) → bucket join per band, then exact popcount verify."""
+    (pigeonhole) → bucket join per band, then exact popcount verify.
+    Buckets above `bucket_cap` members are dropped (see _cap_buckets)."""
     sig = simhash(df, text_col, id_col).persist()
     width = 64 // bands
     mask = (1 << width) - 1
@@ -217,6 +244,7 @@ def simhash_near_dup_pairs(
     buckets = sig.select(F.col(id_col), F.col("simhash"),
                          F.explode(F.array(*band_structs)).alias("bb")) \
                  .select(id_col, "simhash", "bb.band", "bb.bh")
+    buckets = _cap_buckets(buckets, bucket_cap)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     hamming = F.bit_count(xor)
@@ -251,7 +279,7 @@ def embedding_near_dup_pairs(
         plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
         dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         sig = sig.bitwiseOR(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    base = df.select(F.col(id_col), v.alias("_v"), (v if False else norm).alias("_n"), sig.alias("_sig"))
+    base = df.select(F.col(id_col), v.alias("_v"), norm.alias("_n"), sig.alias("_sig"))
     a, b_ = base.alias("a"), base.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
                          F.lit(0.0), lambda s, x: s + x)

@@ -70,13 +70,25 @@ def decode_and_resize(
         for pdf in batches:
             pixels, metas = [], []
             for data in pdf[content_col]:
-                if _HAS_PIL:
-                    raise NotImplementedError(
-                        "real image decode: wire PIL.Image.open here")
-                arr = _fake_decode(bytes(data) if data is not None else b"", height, width, channels)
+                raw = bytes(data) if data is not None else b""
+                arr, fmt = None, "fake"
+                if _HAS_PIL and raw:
+                    # real decode path when PIL is present; bytes that are
+                    # not a decodable image fall back to the deterministic fake
+                    try:
+                        import io
+                        with Image.open(io.BytesIO(raw)) as im:
+                            fmt = (im.format or "unknown").lower()
+                            mode = "RGB" if channels == 3 else "L"
+                            im = im.convert(mode).resize((width, height))
+                            arr = np.asarray(im, dtype=np.uint8).reshape(height, width, channels)
+                    except Exception:
+                        arr = None
+                if arr is None:
+                    arr, fmt = _fake_decode(raw, height, width, channels), "fake"
                 pixels.append(arr.astype(np.float32).ravel() / 255.0)
                 metas.append({"width": width, "height": height,
-                              "channels": channels, "format": "fake"})
+                              "channels": channels, "format": fmt})
             pdf = pdf.copy()
             pdf["pixels"] = pixels
             pdf["meta"] = metas

@@ -60,10 +60,14 @@ def _agg_expr(reduce_op: str, column: str, cond: Column | None, order_col: str |
     if reduce_op == "TakeLast":
         return F.max_by(c, F.col(order_col)) if order_col else F.last(c, ignorenulls=False)
     if reduce_op == "Append":  # StringAggregatorImpls.java:19
-        return F.concat_ws("", F.sort_array(F.collect_list(F.struct(F.col(order_col), c))).getField(column)) \
+        # value aliased inside the struct: with a condition, c is an unnamed
+        # F.when(...) expression and getField(column) would not resolve
+        return F.concat_ws("", F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("_o"), c.alias(column)))).getField(column)) \
             if order_col else F.concat_ws("", F.collect_list(c))
     if reduce_op == "Prepend":  # StringAggregatorImpls.java:41
-        return F.concat_ws("", F.reverse(F.sort_array(F.collect_list(F.struct(F.col(order_col), c))).getField(column))) \
+        return F.concat_ws("", F.reverse(F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("_o"), c.alias(column)))).getField(column))) \
             if order_col else F.concat_ws("", F.reverse(F.collect_list(c)))
     raise ValueError(f"unknown reduce op: {reduce_op}")
 

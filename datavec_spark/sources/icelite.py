@@ -156,9 +156,18 @@ class IceliteTable:
             return int(fh.read().strip())
 
     def metadata(self) -> dict:
+        return self._load()[0]
+
+    def _load(self) -> tuple[dict, int]:
+        """Atomically consistent (metadata, version) pair: read the version
+        hint ONCE and load exactly that v{N}.json. Commit sites must use
+        this (not separate metadata()/_version() calls) — a concurrent
+        commit landing between the two reads would otherwise let a writer
+        publish STALE metadata at the NEWER version, silently dropping the
+        other writer's snapshot past the O_EXCL same-version guard."""
         v = self._version()
         with open(os.path.join(self._meta_dir, f"v{v}.json")) as fh:
-            return json.load(fh)
+            return json.load(fh), v
 
     def _write_metadata(self, meta: dict, expected_version: int) -> None:
         new_v = expected_version + 1
@@ -324,7 +333,7 @@ class IceliteTable:
         summary: dict[str, Any] | None = None,
         properties_update: dict[str, str] | None = None,
     ) -> int:
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         cur = self.current_snapshot()
         new_files = self._write_data_files(self._conform(df, meta), meta)
         files = (cur["files"] if cur else []) + new_files
@@ -345,7 +354,7 @@ class IceliteTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         assert meta["partition_spec"]["num_buckets"] == 1, "local append needs num_buckets=1"
         fields = self._fields(meta)
         arrow_types = {
@@ -371,7 +380,7 @@ class IceliteTable:
         )
 
     def overwrite(self, df: DataFrame, summary: dict[str, Any] | None = None) -> int:
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         new_files = self._write_data_files(self._conform(df, meta), meta)
         return self._commit_snapshot(
             meta, version, new_files, {"operation": "overwrite", **(summary or {})}
@@ -417,7 +426,7 @@ class IceliteTable:
         if epoch is not None and epoch <= self.last_epoch():
             return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
 
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         keys = self.key_cols(meta)
         assert keys, "merge_cdc requires key columns"
 
@@ -483,7 +492,7 @@ class IceliteTable:
     # -- schema evolution ------------------------------------------------------
 
     def _evolve(self, mutate, properties_update: dict[str, str] | None = None) -> int:
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         fields = [dict(f) for f in self._fields(meta)]
         fields = mutate(meta, fields)
         new_sid = meta["current_schema_id"] + 1
@@ -543,7 +552,7 @@ class IceliteTable:
         The Iceberg analog is rewrite_data_files + a delete-cleanup pass.
         At 10^10 events this is the job that keeps merge target reads
         proportional to live data rather than to delete history."""
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         df = self.read(spark)
         dropped_expr = None
         if drop_tombstones_below_seq is not None and deleted_col in df.columns:
@@ -559,7 +568,7 @@ class IceliteTable:
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop old snapshots' metadata entries and garbage-collect data files
         referenced only by them (Iceberg: expire_snapshots)."""
-        meta, version = self.metadata(), self._version()
+        meta, version = self._load()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return 0

@@ -32,14 +32,21 @@ def read_csv(
         spark.read.option("sep", delimiter).option("quote", quote)
         .option("header", str(header).lower()).option("mode", mode)
     )
+    if skip_lines > 0:
+        # skipNumLines semantics are per-file: drop the first N rows of each
+        # input file. monotonically_increasing_id is only contractual within
+        # ONE split — multiLine=true makes the CSV parser non-splittable
+        # (one file = one split, rows in file order), which makes the
+        # per-file window ordering below a real contract, at the cost of
+        # file-level (not split-level) parallelism — acceptable: per-file
+        # prefix skipping is inherently a per-file sequential notion.
+        reader = reader.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema.to_struct())
     else:
         reader = reader.option("inferSchema", "true")
     df = reader.csv(path)
     if skip_lines > 0:
-        # skipNumLines semantics are per-file: drop the first N rows of
-        # each input file (monotonic row position within the file)
         from pyspark.sql import Window
 
         w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
@@ -134,6 +141,31 @@ def compose_readers(left: DataFrame, right: DataFrame) -> DataFrame:
     l = left.withColumn("_idx", F.row_number().over(w))
     r = right.withColumn("_idx", F.row_number().over(w))
     return l.join(r, "_idx").drop("_idx")
+
+
+def read_matlab(spark: SparkSession, path: str, num_cols: int | None = None) -> DataFrame:
+    """MatlabRecordReader parity (misc/MatlabRecordReader.java:37): Matlab
+    ASCII matrix files — whitespace/tab-separated doubles, '%' starts a
+    comment that runs to end-of-line, blank lines skipped. Declarative:
+    text scan → strip comments → split → cast, no per-row Python.
+
+    With num_cols, values expand to columns c0..c{n-1}; otherwise each row
+    is an array<double> column `values`."""
+    df = spark.read.text(path)
+    clean = F.trim(F.regexp_replace(F.col("value"), r"%.*$", ""))
+    vals = F.transform(
+        F.split(clean, r"[\t ]+"), lambda s: s.cast("double")
+    )
+    rows = (
+        df.select(F.input_file_name().alias("_file"), clean.alias("_c"), vals.alias("values"))
+        .where(F.length("_c") > 0)
+        .drop("_c")
+    )
+    if num_cols is None:
+        return rows.select("_file", "values")
+    return rows.select(
+        "_file", *[F.element_at("values", i + 1).alias(f"c{i}") for i in range(num_cols)]
+    )
 
 
 def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:

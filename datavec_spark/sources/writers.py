@@ -40,6 +40,14 @@ def write_libsvm(df: DataFrame, path: str, label_col: str, feature_cols: list[st
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
+def write_matlab(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """MatlabRecordWriter (misc/MatlabRecordWriter.java:34): one record per
+    line, values space-separated (the reference writes ' ' — its `tabs`
+    flag is hard-coded false)."""
+    df.select(F.concat_ws(" ", *[F.col(c).cast("string") for c in df.columns])
+              .alias("value")).write.mode(mode).text(path)
+
+
 def write_parquet_sorted(df: DataFrame, path: str, sort_cols: list[str],
                          mode: str = "overwrite") -> None:
     """saveMapFile parity (SparkStorageUtils.java:190-364): sorted, splittable,

@@ -240,9 +240,13 @@ class CdcEngine:
                 late_expr = F.sum((F.col("ts") < late_cut).cast("long"))
             else:
                 late_expr = F.lit(0).cast("long")
+            # bucket count comes from the STORED table's partition spec, not
+            # the engine-constructor default — a reload with a different
+            # num_buckets must not mislabel lineage partitions vs data buckets
+            table_buckets = meta["partition_spec"]["num_buckets"]
             lineage_rows = (
                 bound.groupBy(
-                    F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(self.num_buckets))
+                    F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(table_buckets))
                     .cast("int")
                     .alias("partition")
                 )
@@ -315,11 +319,16 @@ class CdcEngine:
     ):
         """Structured Streaming tail of the event-file directory.
 
-        Watermarked event-time dedup on `seq` bounds the dedup state; events
-        later than the watermark that slip past dedup are still harmless
-        because the merge is idempotent by seq (and they are counted into
-        lineage late_count). Exactly-once = checkpoint (epoch replay) +
-        cdc.last-epoch fence inside the commit.
+        Dedup uses dropDuplicatesWithinWatermark(["seq"]): Spark evicts a
+        seq from the state store once the watermark passes the event time it
+        was first seen with, so state is bounded by (watermark delay ×
+        arrival rate) — NOT by the total number of distinct seqs ever seen
+        (plain dropDuplicates(["seq"]) would keep every seq forever and OOM
+        at 10^10 events). A duplicate arriving after its twin was evicted
+        slips through dedup but is still harmless: the merge is idempotent
+        by seq (LWW max_by) and it is counted into lineage late_count.
+        Exactly-once = checkpoint (epoch replay) + cdc.last-epoch fence
+        inside the commit.
         """
         reader = spark.readStream.schema(EVENT_SPARK_SCHEMA)
         if max_files_per_trigger:
@@ -327,7 +336,7 @@ class CdcEngine:
         stream = (
             reader.parquet(events_dir)
             .withWatermark("ts", watermark_delay)
-            .dropDuplicates(["seq"])
+            .dropDuplicatesWithinWatermark(["seq"])
         )
 
         def process(df: DataFrame, batch_id: int):

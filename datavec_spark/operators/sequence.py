@@ -153,3 +153,73 @@ def rank_scalable(df: DataFrame, column: str, out: str = "rank", ascending: bool
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(order)) - 1
     return with_pid.withColumn(out, local_rn + F.element_at(omap, F.col("_pid"))).drop("_pid")
+
+
+def sequence_merge(dfs: list[DataFrame]) -> DataFrame:
+    """SequenceMerge parity (transform/sequence/merge/SequenceMerge.java:34):
+    merge several sequence sources that share (keys, order) into one —
+    sequences with the same key interleave by the order column. With the
+    (keys, order)-window representation no explicit re-sort is needed:
+    downstream per-sequence ops re-establish order via their own windows."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+@op("sequence_merge")
+def _sequence_merge(df, others):
+    """Chain form: `others` is a list of DataFrames (programmatic specs
+    only — a JSON spec cannot carry a DataFrame; use the function form)."""
+    return sequence_merge([df] + list(others))
+
+
+@op("sequence_length_filter")  # condition/sequence/SequenceLengthCondition.java:39
+def _sequence_length_filter(df, keys, op, value):
+    """Keep only sequences whose LENGTH satisfies (op, value) — e.g.
+    ('>=', 5) keeps sequences of 5+ steps. One window count, no shuffle
+    beyond the hash-partition on keys; filter applies row-wise so whole
+    sequences survive or drop together."""
+    from datavec_spark.operators.conditions import _CMP
+
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    if op == "in":
+        keep = n.isin(*value)
+    elif op == "notin":
+        keep = ~n.isin(*value)
+    else:
+        keep = _CMP[op](n, F.lit(value))
+    # window exprs are not allowed in WHERE: materialize as a column first
+    return df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
+
+
+def analyze_sequence(df: DataFrame, keys: list[str]) -> dict:
+    """AnalyzeSpark.analyzeSequence parity (datavec-spark/.../AnalyzeSpark.java:69-117):
+    sequence-length statistics (count of sequences, min/max/mean/stdev
+    length) + a length histogram, all from ONE groupBy(keys).count() pass
+    + one driver-side agg over the tiny per-sequence lengths aggregate."""
+    lengths = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("length"))
+    row = lengths.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.min("length").alias("min_length"),
+        F.max("length").alias("max_length"),
+        F.mean("length").alias("mean_length"),
+        F.stddev_samp("length").alias("stdev_length"),
+        F.sum("length").alias("total_steps"),
+    ).collect()[0].asDict()
+    lo, hi = row["min_length"], row["max_length"]
+    buckets = max(min(int(hi - lo) + 1, 20), 1)
+    width = max((hi - lo) / buckets, 1)
+    hist = (
+        lengths.groupBy(
+            F.least(F.floor((F.col("length") - lo) / width), F.lit(buckets - 1)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+        .collect()
+    )
+    row["length_histogram"] = [
+        {"lo": lo + r["bucket"] * width, "hi": lo + (r["bucket"] + 1) * width, "n": r["n"]}
+        for r in hist
+    ]
+    return row

@@ -153,8 +153,12 @@ def read_matlab(spark: SparkSession, path: str, num_cols: int | None = None) -> 
     is an array<double> column `values`."""
     df = spark.read.text(path)
     clean = F.trim(F.regexp_replace(F.col("value"), r"%.*$", ""))
+    # drop empty split pieces before casting: blank/comment-only lines split
+    # to [""], and ANSI cast of "" would fail even on rows the length filter
+    # below discards (expression evaluation order is not the filter order)
     vals = F.transform(
-        F.split(clean, r"[\t ]+"), lambda s: s.cast("double")
+        F.filter(F.split(clean, r"[\t ]+"), lambda s: s != ""),
+        lambda s: s.cast("double"),
     )
     rows = (
         df.select(F.input_file_name().alias("_file"), clean.alias("_c"), vals.alias("values"))

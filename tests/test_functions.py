@@ -135,6 +135,15 @@ def test_ivf_index(spark):
     # brute force agrees (the query's own vector must be the top hit)
     assert got[0]["vec_id"] == 17
 
+    # probe pruning is REAL: the scan reads only the nprobe matching
+    # hive-partition directories of the on-disk index
+    from pyspark.sql import functions as F
+    probe = set(idx.probe_ids(q, nprobe=2))
+    files = idx.probe_df(q, nprobe=2).select(F.input_file_name().alias("f")).distinct().collect()
+    import re as _re
+    dirs = {int(_re.search(r"_cid=(\d+)", r["f"]).group(1)) for r in files}
+    assert dirs <= probe and len(dirs) <= 2
+
 
 def test_multimodal_decode_plumbing(spark):
     from datavec_spark.functions.multimodal import decode_and_resize, frame_sample, image_features
@@ -172,3 +181,24 @@ def test_near_dup_pairs_scalable_matches_exact(spark, docs):
     # and every surviving pair carries the exact Jaccard value
     assert set(scalable) == set(exact)
     assert all(abs(scalable[p] - exact[p]) < 1e-9 for p in scalable)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """Adversarial boilerplate corpus: many docs sharing identical text
+    would put them all in one LSH bucket per band → |bucket|² pairs.
+    With bucket_cap below the clique size, those buckets drop and the
+    pair count collapses; distinct docs are unaffected."""
+    from datavec_spark.functions.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "the same boilerplate header text repeated everywhere " * 3)
+              for i in range(30)]
+    uniq = [(100 + i, f"document body number {i} with distinct words {i * 7} {i * 13}")
+            for i in range(5)]
+    df = spark.createDataFrame(boiler + uniq, "doc_id int, text string")
+
+    capped = minhash_lsh_pairs(df, verify=False, bucket_cap=10)
+    # every candidate pair involving two boilerplate docs is gone
+    assert capped.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 0
+
+    uncapped = minhash_lsh_pairs(df, verify=False, bucket_cap=None)
+    assert uncapped.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 30 * 29 // 2

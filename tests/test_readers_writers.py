@@ -113,3 +113,26 @@ def test_write_parquet_sorted_prunes(spark, tmp_path):
     write_parquet_sorted(df, out, ["k"])
     back = spark.read.parquet(out).where(F.col("k") == 500)
     assert back.count() == 1
+
+
+def test_matlab_roundtrip(spark, tmp_path):
+    # MatlabRecordReader.java:37 format: whitespace-separated doubles,
+    # '%' comments, blank lines skipped
+    src = tmp_path / "mat"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "% a comment line\n1.0 2.0 3.0\n\n4.0\t5.0 6.0  % trailing comment\n")
+    from datavec_spark.sources.readers import read_matlab
+    from datavec_spark.sources.writers import write_matlab
+
+    df = read_matlab(spark, str(src), num_cols=3)
+    rows = sorted([(r["c0"], r["c1"], r["c2"]) for r in df.collect()])
+    assert rows == [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0)]
+
+    arr = read_matlab(spark, str(src))
+    assert sorted(r["values"] for r in arr.collect()) == [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+
+    out = str(tmp_path / "out")
+    write_matlab(df.select("c0", "c1", "c2"), out)
+    back = read_matlab(spark, out, num_cols=3)
+    assert sorted((r["c0"], r["c1"], r["c2"]) for r in back.collect()) == rows

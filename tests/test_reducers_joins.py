@@ -123,3 +123,24 @@ def test_geographic_midpoint(spark):
     )
     r = _geographic_midpoint(df, ["k"], "lat", "lon").collect()[0]
     assert abs(r["midpoint_lat"]) < 1e-9 and abs(r["midpoint_lon"] - 15.0) < 1e-9
+
+
+def test_append_with_condition_and_order(spark):
+    # regression: condition + order_col — value must be aliased inside the
+    # sort struct or getField(column) cannot resolve (reducers.py Append)
+    from datavec_spark.operators.reducers import reduce_by_key
+
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b"), ("k", 4, "skip")],
+        "key string, t int, s string")
+    out = reduce_by_key(
+        df, ["key"], {"s": ["Append"]},
+        condition={"op": "!=", "column": "s", "value": "skip"},
+        order_col="t", aliases={"Append(s)": "joined"})
+    assert out.collect()[0]["joined"] == "abc"
+
+    out2 = reduce_by_key(
+        df, ["key"], {"s": ["Prepend"]},
+        condition={"op": "!=", "column": "s", "value": "skip"},
+        order_col="t", aliases={"Prepend(s)": "joined"})
+    assert out2.collect()[0]["joined"] == "cba"

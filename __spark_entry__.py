@@ -2,8 +2,9 @@
 
 `entry(spark)` — flagship multi-join/agg query at sf0.001 (smoke).
 `queries()` — one entry per implemented operator family from SURVEY.md §2
-plus the training-data-pipeline ops (dedup/similarity/text) and the CDC
-replay engine (rows-only checks where SQL can't express the semantics).
+plus the training-data-pipeline ops (dedup/similarity/text/nlp/geo) and the
+CDC replay engine (oracle-checked against SQL replay over a shared parquet
+fixture; only the two raw-LSH gates are rows-only — see oracle_sql()).
 `oracle_sql()` — DuckDB-dialect equivalents over the same parquet views.
 
 Column names are aliased identically on both sides; double aggregates are
@@ -168,20 +169,13 @@ def pivot_status(spark, sf_dir):
     from datavec_spark.operators.transforms import TransformProcess
 
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus", "o_orderkey")
+    # the real _pivot op, with a deterministic cell aggregate (min) so the
+    # driver hash is stable — PivotTransform.java:46 semantics
     tp = TransformProcess().add(
-        "pivot", key_column="o_orderstatus", value_column="o_orderkey", states=["O", "F", "P"]
+        "pivot", key_column="o_orderstatus", value_column="o_orderkey",
+        states=["O", "F", "P"], agg="min",
     )
-    # pivot(first) parity is per-cell; for a stable oracle compare counts
-    piv = (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("o_cnt"),
-            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("f_cnt"),
-            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("p_cnt"),
-        )
-    )
-    _ = tp  # pivot op exercised in unit tests; counts are the hashed contract
-    return piv
+    return tp(o)
 
 
 def rollup_orders(spark, sf_dir):
@@ -194,15 +188,21 @@ def rollup_orders(spark, sf_dir):
 
 
 def rank_orders(spark, sf_dir):
+    """Top-15 by price with 0-based rank. Plan: orderBy+limit FIRST — Spark
+    plans it as TakeOrderedAndProject (per-partition heaps, no global sort,
+    no single-partition window over the full table); the rank window then
+    runs over only the 15 surviving rows. This is the scalable shape for
+    every `rank < k` pattern (CalculateSortedRank.java:53 semantics)."""
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
-                 (F.row_number().over(w) - 1).alias("rnk"))
-        .where(F.col("rnk") < 15)
+    top = (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
     )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return top.withColumn("rnk", F.row_number().over(w) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -406,11 +406,16 @@ def simhash_docs(spark, sf_dir):  # rows-only
     return simhash_near_dup_pairs(d, max_hamming=3)
 
 
-def near_dup_scalable_docs(spark, sf_dir):  # rows-only (LSH candidate recall)
+def near_dup_scalable_docs(spark, sf_dir):
+    """LSH candidates + exact char-5-gram Jaccard verify. (64 hashes, 32
+    bands of 2 rows) puts the miss probability for a true pair at s>=0.8 at
+    (1-s^2)^32 <= 0.36^32 ~ 7e-15 — effectively full recall, so the result
+    equals the exact-Jaccard SQL the oracle runs."""
     from datavec_spark.functions.dedup import near_dup_pairs_scalable
 
     d = _t(spark, sf_dir, "documents")
-    return near_dup_pairs_scalable(d, k=5, threshold=0.8)
+    out = near_dup_pairs_scalable(d, k=5, num_hashes=64, bands=32, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -450,56 +455,171 @@ def label_cosine_stats(spark, sf_dir):
     )
 
 
-def ann_ivf_topk(spark, sf_dir):  # rows-only (IVF is approximate by design)
-    from datavec_spark.functions.similarity import IvfIndex, train_ivf_centroids
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN vs brute force: the gate result is the recall@10 assertion
+    (IVF is approximate by design, so the oracle-checkable contract is
+    'recall@10 >= 0.9 against exact cosine top-10', not the id list)."""
+    from datavec_spark.functions.similarity import IvfIndex, cosine_topk, train_ivf_centroids
 
     e = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(e, n_centroids=8, iters=2)
     idx = IvfIndex(e, cents)
-    q = e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    out = idx.search([float(x) for x in q], k=10, nprobe=3)
-    idx.assigned.unpersist()
-    return out
+    q = [float(x) for x in e.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]]
+    ivf_ids = {r["vec_id"] for r in idx.search(q, k=10, nprobe=3).collect()}
+    brute_ids = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    recall = len(ivf_ids & brute_ids) / 10.0
+    return spark.createDataFrame(
+        [(10, len(ivf_ids), bool(recall >= 0.9))],
+        "k int, n_results int, recall_ok boolean",
+    )
 
 
 # ---------------------------------------------------------------------------
-# CDC replay engine (north rule; non-SQL-expressible → rows-only checks)
+# NLP / geo / sequence-condition gates (SURVEY §2.7/§2.9 additions, round 2)
 # ---------------------------------------------------------------------------
+
+_TERM_VOCAB = {"the": 0, "and": 1, "of": 2, "to": 3, "a": 4, "in": 5, "is": 6, "for": 7}
+
+_GEO_LOOKUP = [
+    # synthetic regional ranges over 10.0.<octet>.x — third octet partitions
+    {"lo_ip": 167772160 + lo * 256, "hi_ip": 167772160 + hi * 256 + 255,
+     "city": name, "country": name, "latitude": float(lo), "longitude": float(hi)}
+    for lo, hi, name in [(0, 49, "US-EAST"), (50, 99, "US-WEST"),
+                         (100, 149, "EU"), (150, 199, "APAC")]
+]
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """TfidfVectorizer parity: top-20 terms by summed tf-idf across the
+    documents corpus (tf=1+log10(count), idf=log10(N/df), min_df=2)."""
+    from datavec_spark.functions.nlp import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf(d, min_df=2)
+    return (
+        out.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.sum("tfidf"), 4).alias("total_tfidf"))
+        .orderBy(F.col("total_tfidf").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+def term_index_docs(spark, sf_dir):
+    """TextToTermIndexSequenceTransform gate: expand doc text to
+    (doc position, vocab index) rows; unknown terms skipped."""
+    from datavec_spark.operators.transforms import TransformProcess
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50) \
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    tp = TransformProcess().add(
+        "text_to_term_index", column="text", new_column="tidx",
+        word_index_map=_TERM_VOCAB, delimiter=r"\s+",
+    )
+    return tp(d).select("doc_id", "_exp_idx", "tidx")
+
+
+def geo_ip_region_counts(spark, sf_dir):
+    """GeoIP gate: synthesize an IPv4 per event (deterministic from
+    user_id/event_id), enrich via the broadcast range-join lookup, count
+    per region. The oracle re-derives the region from first principles."""
+    from datavec_spark.operators.geo import ip_lookup
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    ip = F.concat_ws(".", F.lit("10"), F.lit("0"),
+                     (F.col("user_id") % 200).cast("string"),
+                     (F.col("event_id") % 250).cast("string"))
+    with_ip = e.withColumn("ip", ip)
+    located = ip_lookup(with_ip, "ip", _GEO_LOOKUP, "COUNTRY", out="region")
+    return located.groupBy("region").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def seq_length_filter_events(spark, sf_dir):
+    """SequenceLengthCondition gate: keep users with >= 60 events, then
+    count per surviving sequence."""
+    from datavec_spark.operators.transforms import OPS
+
+    e = _t(spark, sf_dir, "events")
+    kept = OPS["sequence_length_filter"](e, keys=["user_id"], op=">=", value=60)
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# CDC replay engine (north rule). The fixture (deterministic base table +
+# 4 emission-ordered event chunks) is written as parquet at a shared path so
+# the DuckDB oracle can read THE SAME inputs with read_parquet() and
+# re-derive the expected final state / lineage in pure SQL.
+# ---------------------------------------------------------------------------
+
+_CDC_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "datavec_cdc_oracle_fixture_v1")
+
+
+def _ensure_cdc_fixture() -> str:
+    """Deterministic CDC fixture (seeded datagen, pure pyarrow — no Spark):
+    base.parquet + events/events-0000{0..3}.parquet. Idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(_CDC_FIXTURE_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return _CDC_FIXTURE_DIR
+    from datavec_spark.streaming.datagen import (
+        generate_base_rows, generate_events, write_event_chunks,
+    )
+
+    os.makedirs(_CDC_FIXTURE_DIR, exist_ok=True)
+    base = generate_base_rows(150, n_repos=30, paths_per_repo=25)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    pq.write_table(
+        pa.table({c: [r[c] for r in base] for c in cols}),
+        os.path.join(_CDC_FIXTURE_DIR, "base.parquet"),
+    )
+    events = generate_events(2000, n_repos=30, paths_per_repo=25)
+    write_event_chunks(events, os.path.join(_CDC_FIXTURE_DIR, "events"), n_chunks=4)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return _CDC_FIXTURE_DIR
+
+
+def _cdc_replay_fixture(spark):
+    """Bootstrap + replay the shared fixture chunk-by-chunk (epochs 0..3)."""
+    import glob as _glob
+
+    from datavec_spark.streaming.replay import EVENT_SPARK_SCHEMA, CdcEngine
+
+    fix = _ensure_cdc_fixture()
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_")
+    eng = CdcEngine(os.path.join(tmp, "repos"), num_buckets=8)
+    eng.bootstrap(spark, spark.read.parquet(os.path.join(fix, "base.parquet")))
+    chunks = sorted(_glob.glob(os.path.join(fix, "events", "events-*.parquet")))
+    for epoch, p in enumerate(chunks):
+        eng.apply_batch(spark, spark.read.schema(EVENT_SPARK_SCHEMA).parquet(p), epoch=epoch)
+    return eng
 
 
 def cdc_replay_final_state(spark, sf_dir):
-    from datavec_spark.streaming.datagen import generate_base_rows, generate_events, events_to_table
-    from datavec_spark.streaming.replay import EVENT_SPARK_SCHEMA, CdcEngine
-
-    tmp = tempfile.mkdtemp(prefix="cdc_entry_")
-    eng = CdcEngine(os.path.join(tmp, "repos"), num_buckets=8)
-    base = generate_base_rows(150, n_repos=30, paths_per_repo=25)
-    eng.bootstrap(spark, spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in base],
-        "repo string, path string, commit string, lang string, content string",
-    ))
-    events = generate_events(2000, n_repos=30, paths_per_repo=25)
-    pdf = events_to_table(events).to_pandas()
-    eng.replay_batch(spark, spark.createDataFrame(pdf, EVENT_SPARK_SCHEMA))
+    """Full engine run (icelite bootstrap + 4 epoch-fenced LWW merges);
+    oracle re-derives the final (repo, path, sha256(content)) set in SQL
+    from the same parquet fixture."""
+    eng = _cdc_replay_fixture(spark)
     return eng.final_state_hashes(spark).orderBy("repo", "path")
 
 
 def cdc_lineage_rows(spark, sf_dir):
-    from datavec_spark.streaming.datagen import generate_base_rows, generate_events, events_to_table
-    from datavec_spark.streaming.replay import EVENT_SPARK_SCHEMA, CdcEngine
-
-    tmp = tempfile.mkdtemp(prefix="cdc_lineage_")
-    eng = CdcEngine(os.path.join(tmp, "repos"), num_buckets=8)
-    base = generate_base_rows(100, n_repos=20, paths_per_repo=20)
-    eng.bootstrap(spark, spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in base],
-        "repo string, path string, commit string, lang string, content string",
-    ))
-    events = generate_events(1000, n_repos=20, paths_per_repo=20)
-    pdf = events_to_table(events).to_pandas()
-    eng.replay_batch(spark, spark.createDataFrame(pdf, EVENT_SPARK_SCHEMA))
-    return eng.lineage_table().read(spark).select(
-        "epoch", "partition", "event_count", "min_seq", "max_seq", "late_count"
+    """Per-epoch lineage aggregates. The per-bucket `partition` split uses
+    Spark-internal xxhash64 (not reproducible in DuckDB), so the oracle
+    checks the epoch-level rollup: event count, seq range, late count."""
+    eng = _cdc_replay_fixture(spark)
+    lin = eng.lineage_table().read(spark)
+    return (
+        lin.groupBy("epoch")
+        .agg(
+            F.sum("event_count").alias("n_events"),
+            F.min("min_seq").alias("min_seq"),
+            F.max("max_seq").alias("max_seq"),
+            F.sum("late_count").alias("late_count"),
+        )
+        .orderBy("epoch")
     )
 
 
@@ -548,12 +668,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "label_cosine_stats": label_cosine_stats,
         "ann_ivf_topk": ann_ivf_topk,
+        "tfidf_top_terms": tfidf_top_terms,
+        "term_index_docs": term_index_docs,
+        "geo_ip_region_counts": geo_ip_region_counts,
+        "seq_length_filter_events": seq_length_filter_events,
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # the CDC oracles read the shared fixture parquet; make sure it exists
+    # even if the driver runs the DuckDB side before the Spark side
+    _ensure_cdc_fixture()
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -625,9 +752,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_status": """
             SELECT o_orderpriority,
-                   count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
-                   count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
-                   count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+                   min(o_orderkey) FILTER (o_orderstatus = 'O') AS "O",
+                   min(o_orderkey) FILTER (o_orderstatus = 'F') AS "F",
+                   min(o_orderkey) FILTER (o_orderstatus = 'P') AS "P"
             FROM orders GROUP BY o_orderpriority
         """,
         "rollup_orders": """
@@ -781,7 +908,106 @@ def oracle_sql() -> dict[str, str]:
                  ON a.label = b.label AND a.vec_id < b.vec_id
             GROUP BY a.label
         """,
-        # minhash_lsh_docs, simhash_docs, ann_ivf_topk, cdc_replay_final_state,
-        # cdc_lineage_rows: non-SQL-expressible (engine-specific hashing /
-        # approximate index / stateful replay) → rows-only checks
+        "near_dup_scalable_docs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+                FROM documents, UNNEST(range(1, length(text) - 3)) AS u(i)
+                WHERE length(text) >= 5),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   round(round(i / (sa.sz + sb.sz - i), 6), 4) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
+        """,
+        "ann_ivf_topk": """
+            SELECT 10 AS k, 10 AS n_results, true AS recall_ok
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                FROM documents WHERE length(trim(text)) > 0),
+            tc AS (SELECT doc_id, term, count(*) AS c
+                   FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term
+                      HAVING count(*) >= 2),
+            scored AS (
+                SELECT tc.doc_id, tc.term,
+                       (1 + log10(c)) * log10((SELECT count(*) FROM documents)::DOUBLE / df) AS tfidf
+                FROM tc JOIN dfreq USING (term))
+            SELECT term, count(*) AS n_docs, round(sum(tfidf), 4) AS total_tfidf
+            FROM scored GROUP BY term
+            ORDER BY total_tfidf DESC, term LIMIT 20
+        """,
+        "term_index_docs": """
+            WITH arrs AS (
+                SELECT doc_id, string_split_regex(lower(text), '\\s+') AS arr
+                FROM documents WHERE doc_id < 50),
+            t AS (
+                SELECT doc_id, (i - 1)::INT AS _exp_idx, arr[i] AS term
+                FROM arrs, UNNEST(range(1, len(arr) + 1)) AS u(i)),
+            m AS (SELECT * FROM (VALUES ('the',0),('and',1),('of',2),('to',3),
+                                        ('a',4),('in',5),('is',6),('for',7)) v(term, tidx))
+            SELECT doc_id, _exp_idx, tidx::INT AS tidx FROM t JOIN m USING (term)
+        """,
+        "geo_ip_region_counts": """
+            SELECT CASE WHEN user_id % 200 < 50 THEN 'US-EAST'
+                        WHEN user_id % 200 < 100 THEN 'US-WEST'
+                        WHEN user_id % 200 < 150 THEN 'EU'
+                        ELSE 'APAC' END AS region,
+                   count(*) AS n_events
+            FROM events GROUP BY region
+        """,
+        "seq_length_filter_events": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id HAVING count(*) >= 60
+        """,
+        "cdc_replay_final_state": f"""
+            WITH ev AS (
+                SELECT seq, op, repo, path, content
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet')
+                WHERE op IN ('insert', 'update', 'delete')),
+            base AS (
+                SELECT 0::BIGINT AS seq, 'insert' AS op, repo, path, content
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/base.parquet')),
+            u AS (SELECT * FROM ev UNION ALL SELECT * FROM base),
+            w AS (
+                SELECT repo, path, op, content FROM u
+                QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1)
+            SELECT repo, path, sha256(content) AS content_sha
+            FROM w WHERE op <> 'delete'
+        """,
+        "cdc_lineage_rows": f"""
+            WITH ev AS (
+                SELECT seq, ts,
+                       regexp_extract(filename, 'events-(\\d+)', 1)::BIGINT AS epoch
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet', filename=true)
+                WHERE op IN ('insert', 'update', 'delete')),
+            epoch_max AS (
+                SELECT epoch, max(ts) AS mx FROM ev GROUP BY epoch),
+            cuts AS (
+                SELECT epoch,
+                       max(mx) OVER (ORDER BY epoch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM epoch_max)
+            SELECT e.epoch,
+                   count(*)::BIGINT AS n_events,
+                   min(e.seq) AS min_seq,
+                   max(e.seq) AS max_seq,
+                   sum(CASE WHEN c.prev_max IS NOT NULL
+                                 AND e.ts < c.prev_max - INTERVAL 600 SECONDS
+                            THEN 1 ELSE 0 END)::BIGINT AS late_count
+            FROM ev e JOIN cuts c USING (epoch)
+            GROUP BY e.epoch ORDER BY e.epoch
+        """,
+        # minhash_lsh_docs, simhash_docs: rows-only by design — candidate
+        # buckets come from Spark-internal xxhash64(seed) signatures that no
+        # ANSI-SQL engine reproduces; their SEMANTICS are verified (a) by
+        # pytest equivalence vs the exact-Jaccard path and (b) by the fully
+        # oracle-checked near_dup_scalable_docs gate, whose LSH candidate
+        # stage is the same code path with full-recall parameters.
     }

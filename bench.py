@@ -243,11 +243,15 @@ def run_scaling():
     import subprocess
 
     n_ev = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
+    # the two "cluster sizes" (N and 4N cores). Default 4→16: on this 32-core
+    # shared host, 32 threads saturate memory bandwidth and absorb external
+    # noise; 4→16 measures the engine's scaling, not the box's ceiling.
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")]
     gen = make_session(32)
     cdc_fixture(gen, n_ev, n_base=200000, n_repos=5000, paths_per_repo=200)
     gen.stop()
     results = {}
-    for cores in (8, 32):
+    for cores in levels:
         # fresh process per level: a shared JVM would leak JIT warm-up and
         # heap aging from one level into the other
         proc = subprocess.run(
@@ -258,27 +262,30 @@ def run_scaling():
         if not line:
             raise RuntimeError(f"scaling worker {cores} failed: {proc.stderr[-2000:]}")
         results[cores] = json.loads(line[-1].split(" ", 1)[1])
-    r8, r32 = results[8]["events_per_sec"], results[32]["events_per_sec"]
-    eff = round((r32 / r8) / 4.0, 3)
+    lo, hi = levels[0], levels[1]
+    factor = hi / lo
+    r_lo, r_hi = results[lo]["events_per_sec"], results[hi]["events_per_sec"]
+    eff = round((r_hi / r_lo) / factor, 3)
     out = {
-        "metric": "CDC replay scaling local[8] -> local[32]",
+        "metric": f"CDC replay scaling local[{lo}] -> local[{hi}]",
         "events": n_ev,
-        "rate_local8": r8,
-        "rate_local32": r32,
-        "wall_local8": results[8]["wall_sec"],
-        "wall_local32": results[32]["wall_sec"],
+        "levels": [lo, hi],
+        f"rate_local{lo}": r_lo,
+        f"rate_local{hi}": r_hi,
+        f"wall_local{lo}": results[lo]["wall_sec"],
+        f"wall_local{hi}": results[hi]["wall_sec"],
         "scaling_efficiency": eff,
-        "final_rows_equal": results[8]["final_rows"] == results[32]["final_rows"],
-        "final_checksum_equal": results[8]["final_checksum"] == results[32]["final_checksum"],
-        "final_rows": results[32]["final_rows"],
-        "trial_walls_local8": results[8].get("trial_walls"),
-        "trial_walls_local32": results[32].get("trial_walls"),
-        "core_rate_local8": results[8].get("core_rate"),
-        "core_rate_local32": results[32].get("core_rate"),
+        "final_rows_equal": results[lo]["final_rows"] == results[hi]["final_rows"],
+        "final_checksum_equal": results[lo]["final_checksum"] == results[hi]["final_checksum"],
+        "final_rows": results[hi]["final_rows"],
+        f"trial_walls_local{lo}": results[lo].get("trial_walls"),
+        f"trial_walls_local{hi}": results[hi].get("trial_walls"),
+        f"core_rate_local{lo}": results[lo].get("core_rate"),
+        f"core_rate_local{hi}": results[hi].get("core_rate"),
         "core_scaling_efficiency": round(
-            (results[32]["core_rate"] / results[8]["core_rate"]) / 4.0, 3
-        ) if results[8].get("core_rate") else None,
-        "core_checksum_equal": results[8].get("core_checksum") == results[32].get("core_checksum"),
+            (results[hi]["core_rate"] / results[lo]["core_rate"]) / factor, 3
+        ) if results[lo].get("core_rate") else None,
+        "core_checksum_equal": results[lo].get("core_checksum") == results[hi].get("core_checksum"),
     }
     print(json.dumps(out))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -301,9 +301,14 @@ def _integer_to_onehot(df, column, min_value, max_value):
 
 
 @op("pivot")  # PivotTransform.java:46
-def _pivot(df, key_column, value_column, states, default=None):
+def _pivot(df, key_column, value_column, states, default=None, agg="first"):
+    """agg: cell aggregate when a (group, state) has several rows — the
+    reference keeps the first encountered (order-dependent); min/max/sum/
+    count give deterministic cells under parallel execution."""
+    agg_fn = {"first": F.first, "min": F.min, "max": F.max,
+              "sum": F.sum, "count": F.count}[agg]
     others = [c for c in df.columns if c not in (key_column, value_column)]
-    out = df.groupBy(*others).pivot(key_column, states).agg(F.first(value_column))
+    out = df.groupBy(*others).pivot(key_column, states).agg(agg_fn(value_column))
     if default is not None:
         out = out.fillna(default, subset=states)
     return out

@@ -263,6 +263,24 @@ def tumbling_hourly(spark, sf_dir):
     )
 
 
+def sliding_halfhour(spark, sf_dir):
+    """OverlappingTimeWindowFunction parity: 1-hour windows sliding every
+    30 min (each event lands in 2 windows)."""
+    from datavec_spark.operators.sequence import _reduce_sequence_by_window
+
+    e = _t(spark, sf_dir, "events")
+    out = _reduce_sequence_by_window(
+        e, keys=["event_type"], ts_col="ts", window_duration="1 hour",
+        slide_duration="30 minutes",
+        ops={"value": ["Sum", "Count"]},
+        aliases={"Sum(value)": "sum_value", "Count(value)": "n"},
+    )
+    return out.select(
+        "event_type", F.col("window.start").alias("win_start"),
+        F.round("sum_value", 2).alias("sum_value"), "n",
+    )
+
+
 def derive_time_orders(spark, sf_dir):
     from datavec_spark.operators.transforms import TransformProcess
 
@@ -651,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "session_counts": session_counts,
         "tumbling_hourly": tumbling_hourly,
+        "sliding_halfhour": sliding_halfhour,
         "derive_time_orders": derive_time_orders,
         "filter_and_transform_events": filter_and_transform_events,
         "analysis_lineitem": analysis_lineitem,
@@ -803,6 +822,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS sum_value, count(value) AS n
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sliding_halfhour": """
+            WITH expanded AS (
+                SELECT event_type, value, ts,
+                       unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS win_start
+                FROM events)
+            SELECT event_type, win_start,
+                   round(sum(value), 2) AS sum_value, count(value) AS n
+            FROM expanded
+            WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
+            GROUP BY event_type, win_start
         """,
         "derive_time_orders": """
             SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,

@@ -326,7 +326,16 @@ class CdcEngine:
         (plain dropDuplicates(["seq"]) would keep every seq forever and OOM
         at 10^10 events). A duplicate arriving after its twin was evicted
         slips through dedup but is still harmless: the merge is idempotent
-        by seq (LWW max_by) and it is counted into lineage late_count.
+        by seq (LWW max_by).
+
+        CONTRACT — `watermark_delay` is the stream's lateness SLA: an event
+        whose event time is older than (max event time seen − delay) is
+        DROPPED by the stateful dedup stage (standard Spark semantics for
+        watermarked state). Size the delay to the source's out-of-order
+        bound (tested: delay ≥ bound ⇒ final state equals the oracle while
+        state stays evicted/bounded; delay < bound ⇒ real events are lost).
+        For backfills that must tolerate unbounded lateness use
+        replay_batch(), which has no watermark.
         Exactly-once = checkpoint (epoch replay) + cdc.last-epoch fence
         inside the commit.
         """

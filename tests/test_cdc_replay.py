@@ -125,3 +125,39 @@ def test_content_expr_matches_python(spark):
     got = df.select(content_expr(F.col("repo"), F.col("path"), F.col("seq")).alias("c")).collect()
     want = [content_for("org1/p1", "src/a.py", 7), content_for("org2/p9", "src/b.rs", 123456)]
     assert [r["c"] for r in got] == want
+
+
+def test_streaming_dedup_state_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark evicts dedup state as the watermark
+    advances: over 3+ triggers the state-store row count must stay far
+    below the total number of distinct seqs processed (plain
+    dropDuplicates would retain every seq ever seen — the round-1
+    100x-scale killer). The watermark delay must cover the stream's
+    lateness bound (here ±1 s jitter, no stragglers) while being far
+    smaller than the stream's event-time span (~2 min), so eviction is
+    observable WITHOUT dropping any real data."""
+    base = generate_base_rows(150, n_repos=30, paths_per_repo=25)
+    events = generate_events(N_EVENTS, n_repos=30, paths_per_repo=25,
+                             delay_us=2_000_000, straggler_frac=0.0)
+    state, schema = oracle_replay(base, events)
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    write_event_chunks(events, events_dir, n_chunks=8)
+
+    eng = CdcEngine(str(tmp_path / "repos"), num_buckets=4)
+    eng.bootstrap(spark, base_df(spark, base))
+    q = eng.run_stream(spark, events_dir, ckpt, watermark_delay="10 seconds",
+                       max_files_per_trigger=1)
+    q.awaitTermination()
+    progress = q.recentProgress
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress for op in p["stateOperators"] if op.get("numRowsTotal") is not None
+    ]
+    assert len(progress) >= 3
+    # the final trigger's state must hold far fewer rows than the distinct
+    # seqs seen (eviction happened); a leak would approach N_EVENTS
+    assert state_rows, "no stateOperators metrics reported"
+    assert state_rows[-1] < N_EVENTS / 2, state_rows
+    # and the replay is still correct end-to-end despite evictions
+    assert_final_state(spark, eng, state, schema)

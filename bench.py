@@ -177,6 +177,18 @@ def run_lww_core(spark, fixture_dir: str) -> dict:
             "events_per_sec": round(n / wall, 1), "keys": chk["n"], "checksum": int(chk["chk"])}
 
 
+def _bw_worker(seconds: float) -> float:
+    import numpy as np
+
+    a = np.zeros(100_000_000 // 8)  # 100 MB
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        a = a * 1.000001
+        n += 1
+    return n * 0.2  # ~GB moved per iteration (read + write)
+
+
 def host_mem_bandwidth_probe(seconds: float = 4.0) -> dict:
     """Aggregate memory bandwidth at 1/4/16 processes (GB/s), measured with
     big numpy array copies. The CDC replay is bandwidth-heavy (parquet
@@ -186,21 +198,10 @@ def host_mem_bandwidth_probe(seconds: float = 4.0) -> dict:
     efficiency number can be read in context."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def _bw(_):
-        a = np.zeros(100_000_000 // 8)  # 100 MB
-        t0 = time.time()
-        n = 0
-        while time.time() - t0 < seconds:
-            a = a * 1.000001
-            n += 1
-        return n * 0.2  # ~GB moved per iteration (read + write)
-
     out = {}
     for procs in (1, 4, 16):
         with mp.Pool(procs) as p:
-            moved = sum(p.map(_bw, range(procs)))
+            moved = sum(p.map(_bw_worker, [seconds] * procs))
         out[f"bw_gbs_{procs}p"] = round(moved / seconds, 2)
     out["bw_scaling_4_to_16"] = round(out["bw_gbs_16p"] / max(out["bw_gbs_4p"], 0.01), 2)
     return out

@@ -359,6 +359,29 @@ class CdcEngine:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    @staticmethod
+    def stream_drop_metrics(query) -> dict:
+        """Surface the dedup stage's watermark behavior from streaming
+        progress (SURVEY §7 watch list: late events beyond the delay must
+        be measured, not silently lost). Returns totals across the query's
+        recent triggers: rows dropped for being later than the watermark
+        (data loss — alert on this) and state rows evicted (healthy
+        bounded-state behavior)."""
+        dropped = 0
+        evicted = 0
+        state_rows_last = 0
+        for p in query.recentProgress:
+            for op in p["stateOperators"] or []:
+                dropped += op.get("numRowsDroppedByWatermark") or 0
+                evicted += op.get("numRowsRemoved") or 0
+                state_rows_last = op.get("numRowsTotal") or state_rows_last
+        return {
+            "rows_dropped_late": dropped,
+            "state_rows_evicted": evicted,
+            "state_rows_final": state_rows_last,
+            "triggers": len(query.recentProgress),
+        }
+
     # -- verification ----------------------------------------------------------------
 
     def final_state_hashes(self, spark: SparkSession) -> DataFrame:

@@ -149,6 +149,11 @@ def test_streaming_dedup_state_bounded(spark, tmp_path):
     q = eng.run_stream(spark, events_dir, ckpt, watermark_delay="10 seconds",
                        max_files_per_trigger=1)
     q.awaitTermination()
+    # late-drop accounting is surfaced, and with delay >= the stream's
+    # lateness bound nothing real was dropped while state WAS evicted
+    metrics = CdcEngine.stream_drop_metrics(q)
+    assert metrics["rows_dropped_late"] == 0, metrics
+    assert metrics["state_rows_evicted"] > 0, metrics
     progress = q.recentProgress
     state_rows = [
         op["numRowsTotal"]

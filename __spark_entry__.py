@@ -263,6 +263,49 @@ def tumbling_hourly(spark, sf_dir):
     )
 
 
+def normalize_events_minmax(spark, sf_dir):
+    """Two-phase MinMax normalizer gate (stats pass + expression pass)."""
+    from datavec_spark.operators.transforms import TransformProcess, normalizer_stats
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    stats = normalizer_stats(e, "value")
+    tp = TransformProcess().add("normalize", column="value", mode="MinMax", stats=stats)
+    return tp(e).select("event_id", F.round("value", 6).alias("value"))
+
+
+def string_ops_nations(spark, sf_dir):
+    """String transform chain gate: change_case + append_string +
+    concat_columns + remove_whitespace through the op registry."""
+    from datavec_spark.operators.transforms import TransformProcess
+
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tp = (
+        TransformProcess()
+        .add("change_case", column="n_name", mode="lower")
+        .add("replace_string", column="n_name", replacements=[["a", "@"], ["e", "3"]])
+        .add("remove_whitespace", column="n_name")
+        .add("append_string", column="n_name", suffix="!")
+        .add("concat_columns", out="tag", columns=["n_name", "n_nationkey"], delimiter="#")
+    )
+    return tp(n).select("n_nationkey", "n_name", "tag")
+
+
+def onehot_order_status(spark, sf_dir):
+    """categorical_to_onehot gate: one-hot the order status, sum the
+    indicator columns per priority."""
+    from datavec_spark.operators.transforms import TransformProcess
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    tp = TransformProcess().add("categorical_to_onehot", column="o_orderstatus",
+                                states=["O", "F", "P"])
+    oh = tp(o)
+    return oh.groupBy("o_orderpriority").agg(
+        F.sum("o_orderstatus[O]").alias("n_o"),
+        F.sum("o_orderstatus[F]").alias("n_f"),
+        F.sum("o_orderstatus[P]").alias("n_p"),
+    )
+
+
 def sliding_halfhour(spark, sf_dir):
     """OverlappingTimeWindowFunction parity: 1-hour windows sliding every
     30 min (each event lands in 2 windows)."""
@@ -670,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": session_counts,
         "tumbling_hourly": tumbling_hourly,
         "sliding_halfhour": sliding_halfhour,
+        "normalize_events_minmax": normalize_events_minmax,
+        "string_ops_nations": string_ops_nations,
+        "onehot_order_status": onehot_order_status,
         "derive_time_orders": derive_time_orders,
         "filter_and_transform_events": filter_and_transform_events,
         "analysis_lineitem": analysis_lineitem,
@@ -822,6 +868,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS sum_value, count(value) AS n
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "normalize_events_minmax": """
+            SELECT event_id,
+                   round((value - (SELECT min(value) FROM events))
+                         / ((SELECT max(value) FROM events) - (SELECT min(value) FROM events)), 6) AS value
+            FROM events
+        """,
+        "string_ops_nations": """
+            WITH s AS (
+                SELECT n_nationkey,
+                       regexp_replace(replace(replace(lower(n_name), 'a', '@'), 'e', '3'),
+                                      '\\s', '', 'g') || '!' AS n_name
+                FROM nation)
+            SELECT n_nationkey, n_name, n_name || '#' || n_nationkey AS tag FROM s
+        """,
+        "onehot_order_status": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+            FROM orders GROUP BY o_orderpriority
         """,
         "sliding_halfhour": """
             WITH expanded AS (

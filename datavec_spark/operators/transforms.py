@@ -427,11 +427,19 @@ def _array_distance(df, out, distance, col_a, col_b):
 
 
 @op("coordinates_distance")  # CoordinatesDistanceTransform.java:38
-def _coordinates_distance(df, out, col_a, col_b, delimiter=":"):
-    a, b = F.split(F.col(col_a), delimiter), F.split(F.col(col_b), delimiter)
-    d0 = a.getItem(0).cast("double") - b.getItem(0).cast("double")
-    d1 = a.getItem(1).cast("double") - b.getItem(1).cast("double")
-    return df.withColumn(out, F.sqrt(d0 * d0 + d1 * d1))
+def _coordinates_distance(df, out, col_a, col_b, stddev_col=None, delimiter=":"):
+    """Euclidean distance between delimiter-split coordinate strings of any
+    dimensionality; with stddev_col each component difference is scaled by
+    the matching stddev component first (the reference's semantics —
+    TestGeoTransforms.java: point=-30, mean=20, stddev=10 → 5.0;
+    '50|40' vs '10|-20' with stddev '10|5' → sqrt(160))."""
+    to_arr = lambda c: F.transform(F.split(F.col(c), delimiter), lambda x: x.cast("double"))
+    a, b = to_arr(col_a), to_arr(col_b)
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    if stddev_col is not None:
+        diff = F.zip_with(diff, to_arr(stddev_col), lambda d, s: d / s)
+    return df.withColumn(
+        out, F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, d: acc + d * d)))
 
 
 # ---------------------------------------------------------------------------

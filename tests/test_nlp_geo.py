@@ -202,3 +202,24 @@ def test_analyze_sequence(spark):
     assert stats["mean_length"] == pytest.approx(4.0)
     assert stats["total_steps"] == 8
     assert sum(b["n"] for b in stats["length_histogram"]) == 2
+
+
+def test_coordinates_distance_matches_reference(spark):
+    # TestGeoTransforms.testCoordinatesDistanceTransform exact cases
+    import math
+
+    df = spark.createDataFrame(
+        [("-30", "20", "10"), ("50|40", "10|-20", "10|5")],
+        "point string, mean string, stddev string")
+    out = OPS["coordinates_distance"](
+        df, out="dist", col_a="point", col_b="mean",
+        stddev_col="stddev", delimiter=r"\|").collect()
+    got = sorted(r["dist"] for r in out)
+    assert got[0] == pytest.approx(5.0)
+    assert got[1] == pytest.approx(math.sqrt(160))
+
+
+def test_coordinates_distance_plain_euclidean(spark):
+    df = spark.createDataFrame([("0:0", "3:4")], "a string, b string")
+    out = OPS["coordinates_distance"](df, out="d", col_a="a", col_b="b").collect()
+    assert out[0]["d"] == pytest.approx(5.0)

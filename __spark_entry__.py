@@ -541,6 +541,39 @@ def ann_ivf_topk(spark, sf_dir):
 
 _TERM_VOCAB = {"the": 0, "and": 1, "of": 2, "to": 3, "a": 4, "in": 5, "is": 6, "for": 7}
 
+
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of text.lang_id's stopword vote: per-language hit
+    counts over whitespace tokens, winner by (hits DESC, dict-order
+    priority), 'unknown' when nothing hits."""
+    from datavec_spark.functions.text import STOPWORDS
+
+    rows = ", ".join(
+        f"('{lang}', {pri}, '{w}')"
+        for pri, (lang, words) in enumerate(STOPWORDS.items())
+        for w in words
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0),
+        sw(lang, pri, tok) AS (SELECT * FROM (VALUES {rows})),
+        hits AS (
+            SELECT t.doc_id, sw.lang, sw.pri, count(*) AS h
+            FROM toks t JOIN sw ON t.tok = sw.tok
+            GROUP BY t.doc_id, sw.lang, sw.pri),
+        best AS (
+            SELECT doc_id, lang FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, pri) = 1),
+        labeled AS (
+            SELECT d.doc_id, coalesce(b.lang, 'unknown') AS predicted_lang
+            FROM documents d LEFT JOIN best b USING (doc_id))
+        SELECT predicted_lang, count(*) AS n FROM labeled GROUP BY predicted_lang
+    """
+
+
+_LANG_ID_ORACLE = _lang_id_oracle_sql()
+
 _GEO_LOOKUP = [
     # synthetic regional ranges over 10.0.<octet>.x — third octet partitions
     {"lo_ip": 167772160 + lo * 256, "hi_ip": 167772160 + hi * 256 + 255,
@@ -548,6 +581,57 @@ _GEO_LOOKUP = [
     for lo, hi, name in [(0, 49, "US-EAST"), (50, 99, "US-WEST"),
                          (100, 149, "EU"), (150, 199, "APAC")]
 ]
+
+
+def _hyperplanes(planes: int = 12, dim: int = 64, seed: int = 42):
+    import numpy as np
+
+    return np.random.RandomState(seed).randn(planes, dim)
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dups via random-hyperplane LSH buckets + exact
+    cosine verify. The hyperplanes are deterministic from the seed, so the
+    oracle reproduces the SAME buckets in SQL (list_dot_product against the
+    inlined plane vectors) — the gate checks the full pipeline, buckets
+    included."""
+    from datavec_spark.functions.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(e, vec_col="embedding", id_col="vec_id",
+                                   threshold=0.35, planes=12, seed=42)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _embedding_near_dup_oracle_sql() -> str:
+    hp = _hyperplanes()
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(f'{x!r}' for x in plane)}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(hp.tolist())
+    )
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, ({sig_terms}) AS sig FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+    """
+
+
+def lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic gate: stopword-vote prediction per document,
+    counted per predicted language. The oracle mirrors the vote (incl. the
+    dict-order tie-break) in SQL."""
+    from datavec_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def tfidf_top_terms(spark, sf_dir):
@@ -733,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "label_cosine_stats": label_cosine_stats,
         "ann_ivf_topk": ann_ivf_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "lang_id_counts": lang_id_counts,
         "tfidf_top_terms": tfidf_top_terms,
         "term_index_docs": term_index_docs,
         "geo_ip_region_counts": geo_ip_region_counts,
@@ -1025,6 +1111,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": """
             SELECT 10 AS k, 10 AS n_results, true AS recall_ok
         """,
+        "embedding_near_dup": _embedding_near_dup_oracle_sql(),
+        "lang_id_counts": _LANG_ID_ORACLE,
         "tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term

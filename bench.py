@@ -127,7 +127,11 @@ def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int =
     eng = CdcEngine(os.path.join(work, "repos"), num_buckets=num_buckets)
     base_df = spark.read.parquet(os.path.join(fixture_dir, "base"))
     eng.bootstrap(spark, base_df)
-    events = spark.read.parquet(os.path.join(fixture_dir, "events")).persist()
+    # NO .persist(): caching the event log as deserialized JVM rows (content
+    # strings!) multiplies heap pressure with thread count and is exactly
+    # what a 10^10-event pipeline could never do — re-scanning parquet is
+    # the scale-correct shape (columnar, page-cached, whole-stage codegen)
+    events = spark.read.parquet(os.path.join(fixture_dir, "events"))
     n_events = events.count()
     seq_max = events.agg(F.max("seq")).collect()[0][0]
     t0 = time.time()
@@ -142,7 +146,6 @@ def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int =
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("repo", "path", "content_sha")).alias("chk"),
     ).collect()[0]
-    events.unpersist()
     shutil.rmtree(work, ignore_errors=True)
     return {"events": n_events, "wall_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),

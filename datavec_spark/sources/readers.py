@@ -172,6 +172,28 @@ def read_matlab(spark: SparkSession, path: str, num_cols: int | None = None) -> 
     )
 
 
+def read_voc_annotations(spark: SparkSession, annotations_dir: str) -> DataFrame:
+    """VocLabelProvider parity (datavec-data-image/.../objdetect/impl/
+    VocLabelProvider.java:47): parse Pascal-VOC XML annotation files into
+    one row per labeled object: (image_id, name, xmin, ymin, xmax, ymax).
+    The reference string-scans the XML (its own comment: Jackson can't
+    handle repeated elements); here the scan is declarative —
+    regexp_extract_all over wholetext files, all JVM-side."""
+    df = spark.read.text(annotations_dir, wholetext=True)
+    obj = F.regexp_extract_all(F.col("value"), F.lit(r"(?s)<object>(.*?)</object>"), 1)
+    image_id = F.regexp_extract(F.input_file_name(), r"([^/]+)\.xml$", 1)
+    rows = df.select(image_id.alias("image_id"), F.explode(obj).alias("_o"))
+    tag = lambda t: F.regexp_extract(F.col("_o"), rf"<{t}>\s*([^<]*?)\s*</{t}>", 1)
+    return rows.select(
+        "image_id",
+        tag("name").alias("name"),
+        tag("xmin").cast("int").alias("xmin"),
+        tag("ymin").cast("int").alias("ymin"),
+        tag("xmax").cast("int").alias("xmax"),
+        tag("ymax").cast("int").alias("ymax"),
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
     """JDBCRecordReader parity (datavec-jdbc/.../JDBCRecordReader.java:37)
     — requires a JDBC driver jar on the classpath (not in this sandbox)."""

@@ -136,3 +136,38 @@ def test_matlab_roundtrip(spark, tmp_path):
     write_matlab(df.select("c0", "c1", "c2"), out)
     back = read_matlab(spark, out, num_cols=3)
     assert sorted((r["c0"], r["c1"], r["c2"]) for r in back.collect()) == rows
+
+
+def test_voc_annotations(spark, tmp_path):
+    # Pascal-VOC annotation shape (VocLabelProvider.java:47 parity)
+    ann = tmp_path / "Annotations"
+    ann.mkdir()
+    (ann / "000005.xml").write_text("""<annotation>
+  <filename>000005.jpg</filename>
+  <object>
+    <name>chair</name>
+    <bndbox><xmin>263</xmin><ymin>211</ymin><xmax>324</xmax><ymax>339</ymax></bndbox>
+  </object>
+  <object>
+    <name>sofa</name>
+    <bndbox>
+      <xmin>4</xmin>
+      <ymin>244</ymin>
+      <xmax>66</xmax>
+      <ymax>373</ymax>
+    </bndbox>
+  </object>
+</annotation>""")
+    (ann / "000007.xml").write_text("""<annotation>
+  <object><name>car</name>
+    <bndbox><xmin>141</xmin><ymin>50</ymin><xmax>500</xmax><ymax>330</ymax></bndbox>
+  </object>
+</annotation>""")
+    from datavec_spark.sources.readers import read_voc_annotations
+
+    out = read_voc_annotations(spark, str(ann))
+    rows = {(r["image_id"], r["name"]): (r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+            for r in out.collect()}
+    assert rows[("000005", "chair")] == (263, 211, 324, 339)
+    assert rows[("000005", "sofa")] == (4, 244, 66, 373)
+    assert rows[("000007", "car")] == (141, 50, 500, 330)

@@ -134,13 +134,38 @@ def from_collection(spark: SparkSession, rows: list, schema: EngineSchema | str)
 
 def compose_readers(left: DataFrame, right: DataFrame) -> DataFrame:
     """ComposableRecordReader (impl/ComposableRecordReader.java:43): zip two
-    readers' records positionally — join on per-partition-stable row index."""
+    readers' records positionally — join on per-partition-stable row index.
+    Parity-only: the global window serializes through one task; for the
+    distributed path see compose_readers_zip."""
     from pyspark.sql import Window
 
     w = Window.orderBy(F.monotonically_increasing_id())
     l = left.withColumn("_idx", F.row_number().over(w))
     r = right.withColumn("_idx", F.row_number().over(w))
     return l.join(r, "_idx").drop("_idx")
+
+
+def compose_readers_zip(left: DataFrame, right: DataFrame,
+                        file_ordinal: str = r"part-(\d+)") -> DataFrame:
+    """Distributed positional zip of two identically-laid-out file datasets
+    (features/labels pairs written by the same job): align on (file ordinal
+    extracted from the filename, row position WITHIN the file). Parallel
+    across files, shuffle only on the tiny (ordinal, position) key — no
+    global single-partition window (that's compose_readers, parity-only),
+    and robust to Spark reordering input splits by size (which silently
+    misaligns a naive RDD zip). Contract: matching filenames on both sides
+    and files small enough to read as one split each (row position within a
+    multi-split file is not contractual)."""
+    from pyspark.sql import Window
+
+    def idx(df: DataFrame) -> DataFrame:
+        f = F.regexp_extract(F.input_file_name(), file_ordinal, 1).cast("int")
+        out = df.withColumn("_f", f)
+        w = Window.partitionBy("_f").orderBy(F.monotonically_increasing_id())
+        return out.withColumn("_rn", F.row_number().over(w))
+
+    l, r = idx(left), idx(right)
+    return l.join(r, ["_f", "_rn"]).drop("_f", "_rn")
 
 
 def read_matlab(spark: SparkSession, path: str, num_cols: int | None = None) -> DataFrame:

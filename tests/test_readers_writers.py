@@ -171,3 +171,20 @@ def test_voc_annotations(spark, tmp_path):
     assert rows[("000005", "chair")] == (263, 211, 324, 339)
     assert rows[("000005", "sofa")] == (4, 244, 66, 373)
     assert rows[("000007", "car")] == (141, 50, 500, 330)
+
+
+def test_compose_readers_zip(spark, tmp_path):
+    # two identically-laid-out parquet datasets zip positionally with no
+    # shuffle (RDD zip — the distributed ComposableRecordReader path)
+    import pyspark.sql.functions as F
+
+    base = spark.range(0, 1000, 1, 4)
+    base.select(F.col("id").alias("a")).write.parquet(str(tmp_path / "l"))
+    base.select((F.col("id") * 2).alias("b")).write.parquet(str(tmp_path / "r"))
+    from datavec_spark.sources.readers import compose_readers_zip
+
+    l = spark.read.parquet(str(tmp_path / "l"))
+    r = spark.read.parquet(str(tmp_path / "r"))
+    out = compose_readers_zip(l, r)
+    assert out.count() == 1000
+    assert out.where(F.col("b") != F.col("a") * 2).count() == 0

@@ -111,3 +111,25 @@ def test_compact_drops_old_tombstones_and_coalesces(spark, tmp_path):
     snaps = t.snapshots()
     prev = snaps[-2]["snapshot_id"]
     assert t.read(spark, snapshot_id=prev).count() == 4
+
+
+def test_load_returns_consistent_pair(spark, tmp_path):
+    """Regression for the round-1 commit race: metadata() and _version()
+    read separately could pair STALE metadata with a NEWER version. _load()
+    reads the hint once and loads exactly that v{N}.json, so a commit
+    landing between a writer's read and its commit always surfaces as
+    CommitConflict — never as silent snapshot loss."""
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    meta1, v1 = t._load()
+    # concurrent committer lands AFTER this writer read its (meta, version)
+    t.append(spark.createDataFrame([("b", 2, 1, False)], SCHEMA))
+    meta2, v2 = t._load()
+    assert v2 == v1 + 1
+    # the pair is internally consistent: the files listed belong to v2's
+    # snapshot, not a mix
+    assert meta2["current_snapshot_id"] != meta1["current_snapshot_id"]
+    with pytest.raises(CommitConflict):
+        t._write_metadata(meta1, expected_version=v1)
+    # and committing with the FRESH pair succeeds
+    t._write_metadata(meta2, expected_version=v2)
+    assert t._version() == v2 + 1

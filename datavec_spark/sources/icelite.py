@@ -565,6 +565,33 @@ class IceliteTable:
         )
         return {"snapshot_id": snap_id, "files": len(new_files)}
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Make a retained older snapshot current again (Iceberg:
+        rollback_to_snapshot). Implemented as a NEW snapshot commit whose
+        file list and schema are the target's — history is preserved, time
+        travel still reaches the rolled-back-over snapshots, and a
+        concurrent commit conflicts normally via the version CAS."""
+        meta, version = self._load()
+        target = next((s for s in meta["snapshots"] if s["snapshot_id"] == snapshot_id), None)
+        if target is None:
+            raise ValueError(f"snapshot {snapshot_id} not found (expired?)")
+        snap_id = meta["last_snapshot_id"] + 1
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_id": target["schema_id"],
+            "summary": {"operation": "rollback", "rollback-to": snapshot_id},
+            "files": list(target["files"]),
+        }
+        meta["snapshots"].append(snap)
+        meta["current_snapshot_id"] = snap_id
+        meta["last_snapshot_id"] = snap_id
+        # reads resolve columns via the schema id carried by the snapshot
+        meta["current_schema_id"] = target["schema_id"]
+        self._write_metadata(meta, expected_version=version)
+        return snap_id
+
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop old snapshots' metadata entries and garbage-collect data files
         referenced only by them (Iceberg: expire_snapshots)."""

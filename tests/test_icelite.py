@@ -133,3 +133,20 @@ def test_load_returns_consistent_pair(spark, tmp_path):
     # and committing with the FRESH pair succeeds
     t._write_metadata(meta2, expected_version=v2)
     assert t._version() == v2 + 1
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.append(spark.createDataFrame([("b", 2, 1, False)], SCHEMA))
+    assert t.read(spark).count() == 2
+    rb = t.rollback_to(s1)
+    # current state is the old snapshot's content, via a NEW snapshot
+    assert t.read(spark).count() == 1
+    assert t.current_snapshot()["snapshot_id"] == rb
+    assert t.current_snapshot()["summary"]["operation"] == "rollback"
+    # history preserved: time travel still reaches the rolled-over snapshot
+    assert t.read(spark, snapshot_id=s1 + 1).count() == 2
+    # the table keeps working after rollback
+    t.append(spark.createDataFrame([("c", 3, 2, False)], SCHEMA))
+    assert t.read(spark).count() == 2

@@ -263,6 +263,30 @@ def tumbling_hourly(spark, sf_dir):
     )
 
 
+def salted_lww_events(spark, sf_dir):
+    """Skew-path gate: two-phase salted LWW (operators/skew.py) must equal
+    plain last-writer-wins — the oracle is the straight SQL LWW."""
+    from datavec_spark.operators.skew import salted_lww
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "value", "event_id")
+    out = salted_lww(e, keys=["user_id"], payload=["event_type", "value"],
+                     seq_col="event_id", salt=8)
+    return out.select("user_id", "event_type",
+                      F.round("value", 4).alias("value"), "event_id")
+
+
+def salted_collect_events(spark, sf_dir):
+    """Order-preserving salted collect_list gate (the one agg with no
+    map-side combine): per-user event-type sequence by event order."""
+    from datavec_spark.operators.skew import salted_collect_list
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 10) \
+        .select("user_id", "event_type", "event_id")
+    out = salted_collect_list(e, keys=["user_id"], value_col="event_type",
+                              order_col="event_id", salt=4)
+    return out.select("user_id", F.concat_ws(",", "event_type_list").alias("seq"))
+
+
 def normalize_events_minmax(spark, sf_dir):
     """Two-phase MinMax normalizer gate (stats pass + expression pass)."""
     from datavec_spark.operators.transforms import TransformProcess, normalizer_stats
@@ -797,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": session_counts,
         "tumbling_hourly": tumbling_hourly,
         "sliding_halfhour": sliding_halfhour,
+        "salted_lww_events": salted_lww_events,
+        "salted_collect_events": salted_collect_events,
         "normalize_events_minmax": normalize_events_minmax,
         "string_ops_nations": string_ops_nations,
         "onehot_order_status": onehot_order_status,
@@ -954,6 +980,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS sum_value, count(value) AS n
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "salted_lww_events": """
+            SELECT user_id, event_type, round(value, 4) AS value, event_id
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+        """,
+        "salted_collect_events": """
+            SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS seq
+            FROM events WHERE user_id < 10 GROUP BY user_id
         """,
         "normalize_events_minmax": """
             SELECT event_id,

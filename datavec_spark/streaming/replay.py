@@ -342,8 +342,28 @@ class CdcEngine:
         reader = spark.readStream.schema(EVENT_SPARK_SCHEMA)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return self.run_stream_df(
+            spark, reader.parquet(events_dir), checkpoint_dir,
+            watermark_delay=watermark_delay, available_now=available_now,
+            transform_chain=transform_chain,
+        )
+
+    def run_stream_df(
+        self,
+        spark: SparkSession,
+        events_stream: DataFrame,
+        checkpoint_dir: str,
+        watermark_delay: str = "120 minutes",
+        available_now: bool = True,
+        transform_chain=None,
+    ):
+        """Source-agnostic streaming entry: any streaming DataFrame with the
+        EVENT_SPARK_SCHEMA columns (file tail, Kafka value-parsed stream,
+        rate-source adapter, socket...) gets the same watermarked dedup +
+        epoch-fenced merge pipeline. The file form (run_stream) is sugar
+        over this."""
         stream = (
-            reader.parquet(events_dir)
+            events_stream
             .withWatermark("ts", watermark_delay)
             .dropDuplicatesWithinWatermark(["seq"])
         )

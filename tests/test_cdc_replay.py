@@ -166,3 +166,64 @@ def test_streaming_dedup_state_bounded(spark, tmp_path):
     assert state_rows[-1] < N_EVENTS / 2, state_rows
     # and the replay is still correct end-to-end despite evictions
     assert_final_state(spark, eng, state, schema)
+
+
+def test_run_stream_df_rate_shaped_source(spark, tmp_path):
+    """Source-agnostic streaming entry: a rate-source stream mapped into
+    the event schema (the Kafka-shaped path — any stream of change events
+    works, not just the file tail). Events synthesized JVM-side with
+    content_expr; final state must equal the same events replayed in
+    batch."""
+    from datavec_spark.streaming.replay import content_expr
+
+    def event_cols(df):
+        seq = (F.col("value") + 1).alias("seq")
+        repo = F.concat(F.lit("org0/project"), (F.col("value") % 5).cast("string"))
+        path = F.concat(F.lit("src/f_"), (F.col("value") % 7).cast("string"), F.lit(".py"))
+        return df.select(
+            seq,
+            F.col("timestamp").alias("ts"),
+            F.lit("insert").alias("op"),
+            repo.alias("repo"), path.alias("path"),
+            F.substring(F.sha2(F.concat_ws("|", repo, path), 256), 1, 40).alias("commit"),
+            F.lit("python").alias("lang"),
+            content_expr(repo, path, F.col("value") + 1).alias("content"),
+            F.lit(None).cast(
+                "struct<col_name:string,new_name:string,new_type:string>"
+            ).alias("schema_change"),
+        )
+
+    # streaming run from the rate source
+    eng = CdcEngine(str(tmp_path / "repos_stream"), num_buckets=4)
+    eng.bootstrap(spark)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+    q = eng.run_stream_df(spark, event_cols(rate), str(tmp_path / "ckpt"),
+                          available_now=False)
+    try:
+        import time as _t
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if int(eng.table().properties().get("cdc.last-epoch", "-1")) >= 1:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    got = {(r["repo"], r["path"], r["content_sha"])
+           for r in eng.final_state_hashes(spark).collect()}
+    assert len(got) > 0
+
+    # batch replay of the SAME seq range must produce a superset-consistent
+    # state: every streamed key's final content matches the batch replay
+    max_seq = int(eng.table().read(spark).agg(F.max("_seq")).collect()[0][0])
+    batch_events = event_cols(
+        spark.range(0, max_seq).select(
+            F.col("id").alias("value"),
+            F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id")).alias("timestamp"),
+        )
+    )
+    eng2 = CdcEngine(str(tmp_path / "repos_batch"), num_buckets=4)
+    eng2.bootstrap(spark)
+    eng2.replay_batch(spark, batch_events)
+    want = {(r["repo"], r["path"], r["content_sha"])
+            for r in eng2.final_state_hashes(spark).collect()}
+    assert got == want

@@ -183,11 +183,16 @@ def run_lww_core(spark, fixture_dir: str) -> dict:
 def _bw_worker(seconds: float) -> float:
     import numpy as np
 
+    # preallocated ping-pong buffers: measures memory traffic, not the
+    # kernel's page-allocation path (a fresh 100 MB malloc per iteration
+    # would dominate at high process counts and understate bandwidth)
     a = np.zeros(100_000_000 // 8)  # 100 MB
+    b = np.empty_like(a)
     t0 = time.time()
     n = 0
     while time.time() - t0 < seconds:
-        a = a * 1.000001
+        np.multiply(a, 1.000001, out=b)
+        a, b = b, a
         n += 1
     return n * 0.2  # ~GB moved per iteration (read + write)
 
@@ -224,7 +229,17 @@ def make_session(cores: int):
 def scaling_worker(cores: int, n_ev: int):
     """ONE timed trial at one parallelism level, in its own process (fresh
     JVM — no heap/JIT contamination between levels or trials). Warm replay
-    first so the timed run measures steady state."""
+    first so the timed run measures steady state.
+
+    Heap is PER-CORE-PROPORTIONAL (default 1.5g/core, min 6g): a real
+    N-executor vs 4N-executor cluster gives every executor the same
+    per-core memory, so a fixed local heap would hand the small level 4x
+    the memory per core and flatter it. This also avoids the measured
+    failure mode where one huge heap at high thread counts turns GC into
+    a memory-bandwidth-bound stall on this host (round-2 finding: 48g at
+    local[16] ran 3-10x slower than 24g)."""
+    gb_per_core = float(os.environ.get("SPARK_GRAFT_HEAP_PER_CORE_GB", "1.5"))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(int(cores * gb_per_core), 6)}g"
     spark = make_session(cores)
     fx = cdc_fixture(spark, n_ev, n_base=200000, n_repos=5000, paths_per_repo=200)
     # warm JIT/codegen on a smaller log so the timed run measures steady state
@@ -272,7 +287,7 @@ def run_scaling():
     the north rule's two-cluster-size criterion."""
     import subprocess
 
-    n_ev = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "6000000"))
+    n_ev = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "12000000"))
     # the two "cluster sizes" (N and 4N cores). Default 4→16: on this 32-core
     # shared host, 32 threads saturate memory bandwidth and absorb external
     # noise; 4→16 measures the engine's scaling, not the box's ceiling.

@@ -242,9 +242,11 @@ def scaling_worker(cores: int, n_ev: int):
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(int(cores * gb_per_core), 6)}g"
     spark = make_session(cores)
     fx = cdc_fixture(spark, n_ev, n_base=200000, n_repos=5000, paths_per_repo=200)
-    # warm JIT/codegen on a smaller log so the timed run measures steady state
-    warm = cdc_fixture(spark, max(n_ev // 6, 500000), n_base=200000, n_repos=5000, paths_per_repo=200)
-    run_cdc_replay(spark, warm, num_buckets=64, epochs=1)
+    # warm on the REAL fixture: JIT/codegen AND the input's page cache —
+    # a small warm log leaves the timed run reading cold pages, which
+    # penalizes the high-parallelism level disproportionately (its timed
+    # window is shorter, so cold IO is a larger fraction)
+    run_cdc_replay(spark, fx, num_buckets=64, epochs=1)
     r = run_cdc_replay(spark, fx, num_buckets=64, epochs=1)
     core = run_lww_core(spark, fx)
     r["core_rate"] = core["events_per_sec"]

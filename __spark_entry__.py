@@ -110,6 +110,48 @@ def q10_returned_items(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semijoin (left_semi — no row duplication from
+    multi-match lineitems, no shuffle of lineitem payload columns).
+    Predicate adapted to the testdata schema (returned lineitems)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01"))
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q12_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional priority counts per line-status
+    (testdata schema has no shipmode/commit/receipt dates)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(F.sum(hi.cast("long")).alias("high_line_count"),
+             F.sum((~hi).cast("long")).alias("low_line_count"))
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional-ratio aggregate."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
 def join_left_outer_counts(spark, sf_dir):
     # DataVec Join LeftOuter parity (Join.java:47-49) — customers with zero
     # orders included, null-padded then counted as 0
@@ -814,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q10_returned_items": q10_returned_items,
+        "q4_order_priority": q4_order_priority,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_revenue": q14_promo_revenue,
         "join_left_outer_counts": join_left_outer_counts,
         "reduce_multiop_orders": reduce_multiop_orders,
         "conditional_reduce_orders": conditional_reduce_orders,
@@ -910,6 +955,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_returnflag = 'R'
             GROUP BY c_custkey, c_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q12_shipmode": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
         """,
         "join_left_outer_counts": """
             SELECT c_custkey, count(o_orderkey) AS n_orders

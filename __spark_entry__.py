@@ -290,6 +290,20 @@ def session_counts(spark, sf_dir):
         (F.max("session_id") + 1).cast("long").alias("n_sessions"))
 
 
+def session_window_events(spark, sf_dir):
+    """Native F.session_window sessionization (the streaming-shaped
+    primitive — same operator works under watermarks in a stream): per
+    (user, session) event count and span. Semantics must equal the batch
+    sessionize op / SQL gap-split; session end = last event + gap."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
 def tumbling_hourly(spark, sf_dir):
     from datavec_spark.operators.sequence import _reduce_sequence_by_window
 
@@ -869,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_events": moving_avg_events,
         "sessionize_events": sessionize_events,
         "session_counts": session_counts,
+        "session_window_events": session_window_events,
         "tumbling_hourly": tumbling_hourly,
         "sliding_halfhour": sliding_halfhour,
         "salted_lww_events": salted_lww_events,
@@ -1054,6 +1069,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS is_new
                 FROM events)
             SELECT user_id, sum(is_new)::BIGINT AS n_sessions FROM s GROUP BY user_id
+        """,
+        "session_window_events": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM marked)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "tumbling_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

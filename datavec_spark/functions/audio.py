@@ -52,33 +52,40 @@ def _parse_wav(raw: bytes, max_samples: int):
     first channel; invalid/compressed input → valid=False, empty samples."""
     bad = ({"sample_rate": 0, "channels": 0, "bits_per_sample": 0,
             "n_samples": 0, "valid": False}, np.zeros(0, dtype=np.float32))
-    if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+    # the whole parse is guarded: one truncated/malformed file must yield
+    # valid=False, never fail the Spark task (the documented invalid contract)
+    try:
+        if len(raw) < 44 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return bad
+        pos = 12
+        fmt = None
+        while pos + 8 <= len(raw):
+            cid = raw[pos:pos + 4]
+            (sz,) = struct.unpack_from("<I", raw, pos + 4)
+            body = raw[pos + 8: pos + 8 + sz]
+            if cid == b"fmt " and sz >= 16 and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data" and fmt is not None:
+                audio_fmt, channels, rate, _, _, bits = fmt
+                if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+                    return bad
+                dt = "<i2" if bits == 16 else "u1"
+                itemsize = 2 if bits == 16 else 1
+                body = body[: (len(body) // itemsize) * itemsize]  # odd tail
+                arr = np.frombuffer(body, dtype=dt)
+                arr = arr[: (len(arr) // channels) * channels].reshape(-1, channels)[:, 0]
+                n = arr.shape[0]
+                if bits == 16:
+                    x = arr.astype(np.float32) / 32768.0
+                else:
+                    x = (arr.astype(np.float32) - 128.0) / 128.0
+                return ({"sample_rate": rate, "channels": channels,
+                         "bits_per_sample": bits, "n_samples": n, "valid": True},
+                        x[:max_samples])
+            pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
         return bad
-    pos = 12
-    fmt = None
-    while pos + 8 <= len(raw):
-        cid = raw[pos:pos + 4]
-        (sz,) = struct.unpack_from("<I", raw, pos + 4)
-        body = raw[pos + 8: pos + 8 + sz]
-        if cid == b"fmt " and sz >= 16:
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data" and fmt is not None:
-            audio_fmt, channels, rate, _, _, bits = fmt
-            if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
-                return bad
-            dt = "<i2" if bits == 16 else "u1"
-            arr = np.frombuffer(body, dtype=dt)
-            arr = arr[: (len(arr) // channels) * channels].reshape(-1, channels)[:, 0]
-            n = arr.shape[0]
-            if bits == 16:
-                x = arr.astype(np.float32) / 32768.0
-            else:
-                x = (arr.astype(np.float32) - 128.0) / 128.0
-            return ({"sample_rate": rate, "channels": channels,
-                     "bits_per_sample": bits, "n_samples": n, "valid": True},
-                    x[:max_samples])
-        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
-    return bad
+    except Exception:
+        return bad
 
 
 def decode_wav(df: DataFrame, content_col: str = "content",
@@ -124,11 +131,15 @@ def fft_features(df: DataFrame, samples_col: str = "samples",
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dom, cent, rms = [], [], []
-            for _, row in pdf.iterrows():
-                x = np.asarray(row[samples_col], dtype=np.float64)
-                rate = row[rate_field[0]]
-                if len(rate_field) > 1:
-                    rate = rate[rate_field[1]]
+            # extract the (possibly struct-nested) rate column ONCE per batch;
+            # iterate plain zip — no per-row pandas Series materialization
+            raw_rates = pdf[rate_field[0]]
+            if len(rate_field) > 1:
+                rates = [r[rate_field[1]] if r is not None else 0 for r in raw_rates]
+            else:
+                rates = list(raw_rates)
+            for sample, rate in zip(pdf[samples_col], rates):
+                x = np.asarray(sample, dtype=np.float64)
                 if x.size < 2 or not rate:
                     dom.append(0.0), cent.append(0.0), rms.append(0.0)
                     continue

@@ -107,22 +107,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
-def _cap_buckets(buckets: DataFrame, bucket_cap: int | None) -> DataFrame:
+def _cap_buckets(buckets: DataFrame, bucket_cap: int | None,
+                 keys: tuple[str, ...] = ("band", "bh")) -> DataFrame:
     """Drop LSH buckets with more than `bucket_cap` members — the bucket-level
     analogue of the stop-shingle document-frequency cap. A degenerate corpus
     (boilerplate-heavy: one band hash collecting 10^6 docs) otherwise yields
     |bucket|² candidate pairs from a single bucket; docs in an over-full
     bucket almost always share *other*, smaller buckets through their
-    remaining bands, so recall loss is confined to the pathological mass."""
+    remaining bands, so recall loss is confined to the pathological mass.
+
+    Implemented as a window count over the bucket key — ONE shuffle on the
+    key the candidate self-join needs anyway, instead of the earlier
+    aggregate-then-equi-join (two shuffles + a join; the round-2 bench
+    regression on minhash_lsh)."""
     if bucket_cap is None:
         return buckets
-    small = (
-        buckets.groupBy("band", "bh")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
         .where(F.col("_bsz") <= bucket_cap)
-        .select("band", "bh")
+        .drop("_bsz")
     )
-    return buckets.join(small, ["band", "bh"])
 
 
 def minhash_lsh_pairs(
@@ -260,15 +265,31 @@ def simhash_near_dup_pairs(
 
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = 0.95, planes: int = 12, seed: int = 42,
+    threshold: float = 0.95, planes: int | None = 12, seed: int = 42,
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dups via random-hyperplane LSH buckets, exact
     cosine verify inside buckets. Hyperplanes are deterministic from seed;
-    the dot products are native array expressions (JVM)."""
+    the dot products are native array expressions (JVM).
+
+    Scale guards (a fixed 12-plane signature = 4,096 buckets regardless of
+    corpus size — at 10^9 vectors that is ~250k members/bucket and a
+    quadratic verify):
+    - `planes=None` auto-scales the signature width with the corpus:
+      ceil(log2(n)) + 8 planes keeps the EXPECTED bucket occupancy ~1/256
+      of the corpus-per-bucket count a fixed width would give.
+    - `bucket_cap` drops degenerate sign-buckets outright (same policy as
+      the minhash/simhash paths — see _cap_buckets), so even an adversarial
+      corpus of near-identical vectors cannot go quadratic in one bucket."""
+    import math
+
     import numpy as np
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = first["d"]
+    if planes is None:
+        n_docs = df.count()
+        planes = min(62, int(math.ceil(math.log2(max(n_docs, 2)))) + 8)
     rng = np.random.RandomState(seed)
     hyper = rng.randn(planes, dim)
 
@@ -280,6 +301,7 @@ def embedding_near_dup_pairs(
         dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         sig = sig.bitwiseOR(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
     base = df.select(F.col(id_col), v.alias("_v"), norm.alias("_n"), sig.alias("_sig"))
+    base = _cap_buckets(base, bucket_cap, keys=("_sig",))
     a, b_ = base.alias("a"), base.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
                          F.lit(0.0), lambda s, x: s + x)

@@ -95,9 +95,27 @@ class IvfIndex:
         self.vec_col, self.id_col = vec_col, id_col
         self.centroids = centroids
         self.spark = df.sparkSession
+        # ownership: a self-created temp dir is ours to delete in drop();
+        # a caller-supplied path is the caller's (drop() leaves it in place)
+        self._owns_path = path is None
         self.path = path or tempfile.mkdtemp(prefix="ivf_index_")
         assign_to_centroid(df, centroids, vec_col) \
             .write.mode("overwrite").partitionBy("_cid").parquet(self.path)
+
+    def drop(self) -> None:
+        """Delete the materialized index files if this instance created them
+        (an index build otherwise leaks a full on-disk copy of the dataset
+        for the process lifetime and beyond)."""
+        if self._owns_path:
+            import shutil
+
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.drop()
 
     def probe_ids(self, query: list[float], nprobe: int) -> list[int]:
         q = np.asarray(query, dtype=np.float64)

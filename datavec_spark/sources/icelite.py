@@ -495,7 +495,11 @@ class IceliteTable:
         meta, version = self._load()
         fields = [dict(f) for f in self._fields(meta)]
         fields = mutate(meta, fields)
-        new_sid = meta["current_schema_id"] + 1
+        # allocate past the HIGHEST schema id ever used, not current+1:
+        # rollback_to() legitimately sets current_schema_id back to an older
+        # id, and current+1 would then collide with an existing schema —
+        # _fields resolves the first match, silently shadowing the new schema.
+        new_sid = max(s["schema_id"] for s in meta["schemas"]) + 1
         meta["schemas"].append({"schema_id": new_sid, "fields": fields})
         meta["current_schema_id"] = new_sid
         if properties_update:

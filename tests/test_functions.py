@@ -202,3 +202,30 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
 
     uncapped = minhash_lsh_pairs(df, verify=False, bucket_cap=None)
     assert uncapped.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() == 30 * 29 // 2
+
+
+def test_embedding_lsh_bucket_cap_bounds_adversarial_corpus(spark):
+    """VERDICT r2 #2: a corpus of near-identical vectors all lands in ONE
+    sign-bucket — without a cap the verify stage is |corpus|². With
+    bucket_cap below the clique size the degenerate bucket is dropped
+    (zero candidate pairs from it); vectors in healthy buckets still pair."""
+    import numpy as np
+
+    from datavec_spark.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    base = np.abs(rng.randn(8)) + 1.0          # strictly positive direction
+    clique = [(i, [float(x) for x in base + rng.randn(8) * 1e-4]) for i in range(2000)]
+    # two isolated near-dup vectors in a different orthant
+    other = [(9000, [1.0, -1.0] * 4), (9001, [0.999, -1.001] * 4)]
+    df = spark.createDataFrame(clique + other, "vec_id int, embedding array<float>")
+
+    capped = embedding_near_dup_pairs(df, threshold=0.9, planes=8, bucket_cap=100)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert all(a >= 9000 for a, _ in got), "clique bucket must be dropped by the cap"
+    assert (9000, 9001) in got, "healthy small buckets must survive the cap"
+
+    # auto-scaled planes (planes=None) still produces a bounded signature
+    auto = embedding_near_dup_pairs(df.where(F.col("vec_id") >= 9000),
+                                    threshold=0.9, planes=None)
+    assert {(r["id_a"], r["id_b"]) for r in auto.collect()} == {(9000, 9001)}

@@ -1,3 +1,5 @@
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -150,3 +152,95 @@ def test_rollback_to_snapshot(spark, tmp_path):
     # the table keeps working after rollback
     t.append(spark.createDataFrame([("c", 3, 2, False)], SCHEMA))
     assert t.read(spark).count() == 2
+
+
+def test_rollback_then_evolve_unique_schema_ids(spark, tmp_path):
+    """Regression: rollback_to sets current_schema_id back to an older id;
+    _evolve must allocate past the HIGHEST id ever used (max+1), not
+    current+1 — otherwise the new schema duplicates an existing schema_id
+    and _fields silently resolves the stale first match."""
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    s1 = t.current_snapshot()["snapshot_id"]
+    t.add_column("stars", "int")          # schema_id 1
+    t.append(spark.createDataFrame([("b", 2, 1, False, 9)], t.schema_struct()))
+    t.rollback_to(s1)                     # current_schema_id back to 0
+    t.add_column("forks", "int")          # must become schema_id 2, not 1
+    sids = [s["schema_id"] for s in t.metadata()["schemas"]]
+    assert sids == sorted(set(sids)), f"duplicate schema ids: {sids}"
+    names = [f["name"] for f in t._fields(t.metadata())]
+    assert "forks" in names and "stars" not in names
+    # the evolved table reads and writes through the NEW schema
+    t.append(spark.createDataFrame([("c", 3, 2, False, 4)], t.schema_struct()))
+    got = {r["k"]: r["forks"] for r in t.read(spark).collect()}
+    assert got == {"a": None, "c": 4}
+
+
+def test_concurrent_merge_conflict_retry_exactly_once(spark, tmp_path):
+    """Two writers race a merge: the loser's optimistic commit raises
+    CommitConflict (stale version CAS); a plain retry through the public
+    API then lands its epoch, and BOTH epochs' rows are present exactly
+    once — no lost update, no double-apply."""
+    t = make(spark, tmp_path, [("a", 1, 0, False)])
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    ch1 = spark.createDataFrame([("x", 10, 5, False, "upsert")], ch_schema)
+    ch2 = spark.createDataFrame([("y", 20, 6, False, "upsert")], ch_schema)
+
+    loser = IceliteTable(t.location)
+    stale = loser._load()                    # loser reads (meta, version) first
+    orig_load = IceliteTable._load
+    IceliteTable._load = lambda self: (stale[0], stale[1]) if self is loser else orig_load(self)
+    try:
+        t.merge_cdc(spark, ch1, epoch=0)     # winner commits in between
+        with pytest.raises(CommitConflict):
+            loser.merge_cdc(spark, ch2, epoch=1)
+    finally:
+        IceliteTable._load = orig_load
+    # retry with a fresh read — the normal foreachBatch retry path
+    res = loser.merge_cdc(spark, ch2, epoch=1)
+    assert res["applied"]
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {"a": 1, "x": 10, "y": 20}
+    assert t.last_epoch() == 1
+
+
+def test_concurrent_appends_threaded_retry(tmp_path):
+    """Thread-level race on the metadata CAS: two writers append disjoint
+    row sets concurrently with a retry-on-conflict loop (pyarrow local
+    appends — pure metadata contention, no Spark jobs). Every row must land
+    exactly once and the version history must be a clean linear chain."""
+    import threading
+
+    import duckdb
+
+    loc = str(tmp_path / "lineage")
+    schema = T.StructType([T.StructField("writer", T.StringType()),
+                           T.StructField("i", T.IntegerType())])
+    IceliteTable.create(loc, schema, key_cols=[], num_buckets=1)
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(name):
+        try:
+            t = IceliteTable(loc)
+            barrier.wait()
+            for i in range(10):
+                while True:
+                    try:
+                        t.append_rows_local([{"writer": name, "i": i}])
+                        break
+                    except CommitConflict:
+                        continue  # reload happens inside append_rows_local
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th = [threading.Thread(target=writer, args=(n,)) for n in ("w1", "w2")]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errors
+    t = IceliteTable(loc)
+    files = [os.path.join(loc, f["path"]) for f in t.current_snapshot()["files"]]
+    rows = duckdb.execute(
+        f"SELECT writer, i FROM read_parquet({files!r}) ORDER BY writer, i"
+    ).fetchall()
+    assert rows == [(w, i) for w in ("w1", "w2") for i in range(10)]
+    assert len(t.snapshots()) == 20  # one snapshot per successful append

@@ -130,21 +130,22 @@ def _cap_buckets(buckets: DataFrame, bucket_cap: int | None,
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 5, num_hashes: int = 64, bands: int = 16,
+def lsh_pairs_from_minhash(
+    sig: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16,
     threshold: float = 0.7, verify: bool = True,
     bucket_cap: int | None = 10_000,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs.
-
-    shingle → minhash → band (rows/band hashes concatenated) → bucket join
-    on (band_id, band_hash) → candidate pairs → optional exact-Jaccard
-    verify. Candidate generation cost is Σ_bucket |bucket|², bounded by the
-    band hash AND by `bucket_cap` (buckets above the cap are dropped — see
-    _cap_buckets); the join is a plain shuffled equi-join that scales out."""
+    """Banded-LSH pair generation over an ALREADY-COMPUTED minhash signature
+    DataFrame (columns: id_col, h0..h{num_hashes-1}) — the banding / bucket
+    join / signature-Jaccard verify half of minhash_lsh_pairs, split out so
+    signatures can be materialized to parquet once and candidate logic can be
+    (a) re-run without re-shingling and (b) independently re-derived by a SQL
+    oracle from the same materialized signatures (band slicing, bucket join,
+    and position-equality estimate are all engine-agnostic; only the raw
+    xxhash64 signature values are Spark-specific)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    sig = sig.persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -172,6 +173,24 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, num_hashes: int = 64, bands: int = 16,
+    threshold: float = 0.7, verify: bool = True,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs.
+
+    shingle → minhash → band (rows/band hashes concatenated) → bucket join
+    on (band_id, band_hash) → candidate pairs → optional exact-Jaccard
+    verify. Candidate generation cost is Σ_bucket |bucket|², bounded by the
+    band hash AND by `bucket_cap` (buckets above the cap are dropped — see
+    _cap_buckets); the join is a plain shuffled equi-join that scales out."""
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return lsh_pairs_from_minhash(sig, id_col, num_hashes, bands, threshold,
+                                  verify, bucket_cap)
 
 
 def near_dup_pairs_scalable(
@@ -229,16 +248,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str = "doc_id",
     max_hamming: int = 3, bands: int = 4,
     bucket_cap: int | None = 10_000,
 ) -> DataFrame:
-    """SimHash near-dups: band the 64-bit signature into `bands` chunks —
-    any pair within hamming distance < bands shares ≥1 exact band
-    (pigeonhole) → bucket join per band, then exact popcount verify.
-    Buckets above `bucket_cap` members are dropped (see _cap_buckets)."""
-    sig = simhash(df, text_col, id_col).persist()
+    """Banded pair generation over an ALREADY-COMPUTED simhash signature
+    DataFrame (columns: id_col, simhash) — split out of
+    simhash_near_dup_pairs so signatures can be materialized once and the
+    band/bucket/popcount logic re-derived by a SQL oracle from the same
+    parquet (bit slicing, bucket join, and bit_count(xor) are all
+    engine-agnostic; only the raw xxhash64 token hashes are Spark-specific)."""
+    sig = sig.persist()
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = [
@@ -261,6 +282,19 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, bands: int = 4,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit signature into `bands` chunks —
+    any pair within hamming distance < bands shares ≥1 exact band
+    (pigeonhole) → bucket join per band, then exact popcount verify.
+    Buckets above `bucket_cap` members are dropped (see _cap_buckets)."""
+    sig = simhash(df, text_col, id_col)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming, bands, bucket_cap)
 
 
 def embedding_near_dup_pairs(

@@ -64,6 +64,11 @@ def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # untimed warm-up: the first query of a fresh session otherwise pays
+    # one-off session/codegen/page-cache costs (~4-5 s observed on q1 —
+    # a 2-agg scan that subsequently runs in ~1-2 s), which would make
+    # per-query times incomparable across rounds
+    qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -149,6 +154,53 @@ def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int =
     shutil.rmtree(work, ignore_errors=True)
     return {"events": n_events, "wall_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
+            "final_rows": agg["n"], "final_checksum": int(agg["chk"])}
+
+
+def run_cdc_stream_replay(spark, fixture_dir: str, num_buckets: int = 64,
+                          n_triggers: int = 8) -> dict:
+    """The same replay through the Structured Streaming path (run_stream:
+    watermarked dedup state + checkpointed foreachBatch epoch-fenced merges),
+    chunked into ~n_triggers triggers via maxFilesPerTrigger. Measures the
+    end-to-end streaming wall including per-trigger serial overhead (trigger
+    planning, state-store commit, checkpoint fsync, snapshot commit) — the
+    overhead a real cluster pays once per micro-batch regardless of width,
+    which is why streaming scaling efficiency is expected to trail the
+    single-epoch batch number."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from datavec_spark.streaming.replay import CdcEngine
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_bench_")
+    eng = CdcEngine(os.path.join(work, "repos"), num_buckets=num_buckets)
+    eng.bootstrap(spark, spark.read.parquet(os.path.join(fixture_dir, "base")))
+    events_dir = os.path.join(fixture_dir, "events")
+    files = [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
+    mfpt = max(1, _math.ceil(len(files) / n_triggers))
+    n_events = spark.read.parquet(events_dir).count()
+    t0 = time.time()
+    q = eng.run_stream(spark, events_dir, os.path.join(work, "ckpt"),
+                       max_files_per_trigger=mfpt, available_now=True)
+    q.awaitTermination()
+    wall = time.time() - t0
+    drops = CdcEngine.stream_drop_metrics(q)
+    state_peak = 0
+    for p in q.recentProgress:
+        for op in p["stateOperators"] or []:
+            state_peak = max(state_peak, op.get("numRowsTotal") or 0)
+    final = eng.final_state_hashes(spark)
+    agg = final.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("repo", "path", "content_sha")).alias("chk"),
+    ).collect()[0]
+    shutil.rmtree(work, ignore_errors=True)
+    return {"events": n_events, "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall, 1),
+            "triggers": drops["triggers"], "state_rows_peak": state_peak,
+            "rows_dropped_late": drops["rows_dropped_late"],
+            "state_rows_evicted": drops["state_rows_evicted"],
             "final_rows": agg["n"], "final_checksum": int(agg["chk"])}
 
 
@@ -252,6 +304,18 @@ def scaling_worker(cores: int, n_ev: int):
     r["core_rate"] = core["events_per_sec"]
     r["core_wall"] = core["wall_sec"]
     r["core_checksum"] = core["checksum"]
+    if os.environ.get("SPARK_GRAFT_SCALE_STREAMING", "1") == "1":
+        # same events through the Structured Streaming path (multi-trigger,
+        # checkpointed, watermarked dedup state) — the north rule's replay
+        # is stream-shaped, so scaling evidence must cover this path too
+        st = run_cdc_stream_replay(spark, fx, num_buckets=64)
+        r["stream_rate"] = st["events_per_sec"]
+        r["stream_wall"] = st["wall_sec"]
+        r["stream_triggers"] = st["triggers"]
+        r["stream_state_peak"] = st["state_rows_peak"]
+        r["stream_dropped_late"] = st["rows_dropped_late"]
+        r["stream_checksum"] = st["final_checksum"]
+        r["stream_final_rows"] = st["final_rows"]
     print("SCALING_RESULT " + json.dumps(r))
     spark.stop()
 
@@ -358,6 +422,25 @@ def run_scaling():
         "core_checksum_equal": results[lo].get("core_checksum") == results[hi].get("core_checksum"),
         "host_mem_bandwidth": bw,
     }
+    if all("stream_rate" in t for ts in trials.values() for t in ts):
+        stream_best = {c: min(trials[c], key=lambda t: t["stream_wall"]) for c in levels}
+        s_lo, s_hi = stream_best[lo]["stream_rate"], stream_best[hi]["stream_rate"]
+        out["streaming"] = {
+            f"rate_local{lo}": s_lo,
+            f"rate_local{hi}": s_hi,
+            f"wall_local{lo}": stream_best[lo]["stream_wall"],
+            f"wall_local{hi}": stream_best[hi]["stream_wall"],
+            "scaling_efficiency": round((s_hi / s_lo) / factor, 3),
+            "triggers": stream_best[hi]["stream_triggers"],
+            "state_rows_peak": stream_best[hi]["stream_state_peak"],
+            "rows_dropped_late": stream_best[hi]["stream_dropped_late"],
+            "final_checksum_equal": (
+                stream_best[lo]["stream_checksum"] == stream_best[hi]["stream_checksum"]
+            ),
+            "final_rows": stream_best[hi]["stream_final_rows"],
+            f"trial_walls_local{lo}": [t["stream_wall"] for t in trials[lo]],
+            f"trial_walls_local{hi}": [t["stream_wall"] for t in trials[hi]],
+        }
     print(json.dumps(out))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as fh:

@@ -168,6 +168,217 @@ def q22_no_orders(spark, sf_dir):
     )
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between two trading nations by year. Two
+    independent nation-role lookups (supplier's and customer's), both
+    broadcast; the fact table shuffles once for the groupBy."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+               | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of EUROPE's PROMO-part revenue by
+    order year — conditional-sum ratio over a 6-table broadcast-dim join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31"))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year over
+    name-matched parts. The testdata has no partsupp table, so supply cost
+    is the deterministic proxy 0.6 * p_retailprice (the shape under test is
+    the 5-way join + two-key agg, not the cost constant)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    n = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count — LEFT
+    OUTER join (zero-order customers must appear with count 0), then a
+    second aggregation over the first's result."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    aggregate view + scalar-max subquery, expressed as a broadcast join of
+    the single-row global max (no second scan of lineitem)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of small-quantity orders — the
+    correlated per-part AVG subquery becomes one extra aggregation joined
+    back on the part key (no correlated re-scan)."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10))
+    l = _t(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_qty = lp.groupBy("p_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("_lim"))
+    return (
+        lp.join(F.broadcast(avg_qty), "p_partkey")
+        .where(F.col("l_quantity") < F.col("_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — groupBy-HAVING on the fact
+    table feeding an IN-subquery, expressed as a semi-style inner join of
+    the qualifying order keys."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — Catalyst
+    pushes the common part filter below the join and evaluates the
+    disjunction post-join in one pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#19") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 40)))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order ("late" = shipped >90 days after the order date;
+    the testdata has no commit/receipt dates). The textbook EXISTS +
+    NOT-EXISTS pair is rewritten as one per-order aggregation — distinct
+    supplier count and distinct late-supplier count — joined back, which
+    shuffles lineitem once instead of three correlated scans; the DuckDB
+    oracle runs the textbook correlated form, so the gate checks the
+    rewrite's semantic equivalence."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+                .cast("int").alias("late"))
+    )
+    per_os = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("late").alias("n_late_lines"), F.max("late").alias("any_late"))
+    )
+    per_o = (
+        per_os.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("any_late").alias("n_late_supp"))
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .where((F.col("any_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
 def join_left_outer_counts(spark, sf_dir):
     # DataVec Join LeftOuter parity (Join.java:47-49) — customers with zero
     # orders included, null-padded then counted as 0
@@ -1018,6 +1229,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipmode": q12_shipmode,
         "q14_promo_revenue": q14_promo_revenue,
         "q22_no_orders": q22_no_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "join_left_outer_counts": join_left_outer_counts,
         "reduce_multiop_orders": reduce_multiop_orders,
         "conditional_reduce_orders": conditional_reduce_orders,
@@ -1155,6 +1375,121 @@ def oracle_sql() -> dict[str, str]:
                   AND o_orderdate >= TIMESTAMP '1996-01-01'
                   AND o_orderdate < TIMESTAMP '1997-01-01')
             GROUP BY c_mktsegment
+        """,
+        "q7_volume_shipping": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ns ON s_nationkey = ns.n_nationkey
+                 JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+              AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation nc ON c_nationkey = nc.n_nationkey
+                 JOIN region ON nc.n_regionkey = r_regionkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                     ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity": """
+            WITH lp AS (
+                SELECT p_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#4' AND p_size <= 10),
+            lim AS (SELECT p_partkey, 0.2 * avg(l_quantity) AS _lim
+                    FROM lp GROUP BY p_partkey)
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lp JOIN lim USING (p_partkey)
+            WHERE l_quantity < _lim
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 150)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        # textbook correlated EXISTS + NOT-EXISTS form; the Spark gate runs
+        # the single-shuffle aggregation rewrite, so a hash match proves the
+        # rewrite's semantic equivalence
+        "q21_waiting_suppliers": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM lineitem l1
+                 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+                 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 10
         """,
         "join_left_outer_counts": """
             SELECT c_custkey, count(o_orderkey) AS n_orders

@@ -7,11 +7,12 @@ CodecRecordReader.java:56) restated for Spark: media lives in a
 with a metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas stages over mapInPandas.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
-decode kernels are gated behind import-try with a deterministic fake
-(bytes-hash-seeded arrays) — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested; swapping in a real codec
-is a one-function change.
+Codec chain: PIL when installed (any format) → pure-stdlib PNG decode
+(png_codec.py — zlib inflate + scanline unfilter; real decode with no
+third-party deps) → deterministic fake (bytes-hash-seeded arrays) for
+formats with no available codec (JPEG etc.). The Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is identical across the
+three paths.
 """
 
 from __future__ import annotations
@@ -84,6 +85,19 @@ def decode_and_resize(
                             arr = np.asarray(im, dtype=np.uint8).reshape(height, width, channels)
                     except Exception:
                         arr = None
+                if arr is None and raw:
+                    # stdlib PNG path: real decode without PIL
+                    from datavec_spark.functions.png_codec import (
+                        decode_png, is_png, resize_nearest, to_channels,
+                    )
+
+                    if is_png(raw):
+                        try:
+                            px = decode_png(raw)
+                            arr = resize_nearest(to_channels(px, channels), height, width)
+                            fmt = "png"
+                        except ValueError:
+                            arr = None
                 if arr is None:
                     arr, fmt = _fake_decode(raw, height, width, channels), "fake"
                 pixels.append(arr.astype(np.float32).ravel() / 255.0)

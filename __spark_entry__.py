@@ -880,6 +880,19 @@ def near_dup_scalable_docs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def near_dup_components_docs(spark, sf_dir):
+    """Connected components over the scale-path near-dup pairs → (doc_id,
+    component=min reachable id), the dedup-group / keeper-selection step.
+    Spark runs iterative min-label propagation (O(diameter) joined rounds);
+    the oracle computes reachability with a recursive CTE — agreement
+    verifies the propagation reached the true fixpoint."""
+    from datavec_spark.functions.dedup import connected_components, near_dup_pairs_scalable
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_scalable(d, k=5, num_hashes=64, bands=32, threshold=0.8)
+    return connected_components(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -1270,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_docs": minhash_lsh_docs,
         "simhash_docs": simhash_docs,
         "near_dup_scalable_docs": near_dup_scalable_docs,
+        "near_dup_components_docs": near_dup_components_docs,
         "embedding_topk": embedding_topk,
         "label_cosine_stats": label_cosine_stats,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1744,6 +1758,29 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
+        """,
+        "near_dup_components_docs": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+                FROM documents, UNNEST(range(1, length(text) - 3)) AS u(i)
+                WHERE length(text) >= 5),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
+                WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(n, m) AS (
+                SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                UNION
+                SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.n)
+            SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
         "ann_ivf_topk": """
             SELECT 10 AS k, 10 AS n_results, true AS full_probe_matches_brute

@@ -230,6 +230,66 @@ def near_dup_pairs_scalable(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, component)
+    where component = min doc_id reachable (the canonical "keeper" id).
+
+    A dedup pipeline needs this step after pair generation: near-dup is not
+    transitive pairwise, but dedup policy usually IS applied per connected
+    group (keep one doc per component). Algorithm: iterative min-label
+    propagation — label(v) := min(label(v), min label of neighbors) until a
+    fixpoint, which converges in O(component diameter) rounds; near-dup
+    components are shallow (chains of near-identical docs), so typically
+    3-5 rounds. Each round is one shuffled join + one groupBy — no driver
+    data beyond a single changed-count per round, so the op scales out.
+    The per-round persist is checkpoint-shaped: labels are tiny (two longs
+    per node) next to the corpus."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+                  .withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        labels = labels.persist()
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            labels.alias("o").join(new_labels.alias("n"), "node")
+            .where(F.col("o.label") != F.col("n.label")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_keepers(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates: keep each doc that is its component's minimum
+    id (the keeper), plus every doc not in any pair. One anti-join against
+    the non-keeper set."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ±1 across token
     hashes. Expressed as exploded token rows + one groupBy — no Python."""

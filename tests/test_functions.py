@@ -229,3 +229,26 @@ def test_embedding_lsh_bucket_cap_bounds_adversarial_corpus(spark):
     auto = embedding_near_dup_pairs(df.where(F.col("vec_id") >= 9000),
                                     threshold=0.9, planes=None)
     assert {(r["id_a"], r["id_b"]) for r in auto.collect()} == {(9000, 9001)}
+
+
+def test_connected_components_and_keepers(spark):
+    """Chain, triangle, isolated edge, and a singleton doc: components are
+    min-reachable-id; dedup_keepers keeps one doc per component plus all
+    unpaired docs."""
+    from datavec_spark.functions.dedup import connected_components, dedup_keepers
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (not all directly connected), triangle 10-11-12,
+        # isolated edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keepers(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]

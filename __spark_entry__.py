@@ -265,7 +265,11 @@ def q13_customer_distribution(spark, sf_dir):
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     aggregate view + scalar-max subquery, expressed as a broadcast join of
-    the single-row global max (no second scan of lineitem)."""
+    the single-row global max. The aggregated view (one row per supplier)
+    is persisted — that is Q15's CREATE VIEW made explicit: without it the
+    max branch and the join branch would each re-scan lineitem (verified:
+    no ReusedExchange in the runtime plan), which at 100 TB doubles the
+    only expensive scan. The cache is dim-table-sized, not fact-sized."""
     l = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
     s = _t(spark, sf_dir, "supplier")
@@ -273,6 +277,7 @@ def q15_top_supplier(spark, sf_dir):
         l.groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("total_revenue"))
+        .persist()
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (

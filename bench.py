@@ -93,6 +93,7 @@ def cdc_fixture(spark, n_events: int, n_base: int, n_repos: int, paths_per_repo:
     out = os.path.join(_FIXTURE_CACHE, key)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
+        _normalize_event_mtimes(os.path.join(out, "events"))
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -115,8 +116,33 @@ def cdc_fixture(spark, n_events: int, n_base: int, n_repos: int, paths_per_repo:
         )
     )
     base.coalesce(8).write.parquet(os.path.join(out, "base"))
+    _normalize_event_mtimes(os.path.join(out, "events"))
     open(done, "w").write("ok")
     return out
+
+
+def _normalize_event_mtimes(events_dir: str) -> None:
+    """Stamp event part-files with mtimes strictly increasing in FILENAME
+    order. part-NNNNN order == spark.range partition order == seq order
+    (with the ~2% duplicate re-deliveries in the trailing partitions —
+    they are MEANT to arrive last), but the files are WRITTEN by concurrent
+    tasks, so raw mtimes land in near-random order — and the streaming file
+    source builds triggers in mtime order. Without this a trigger can
+    deliver a whole seq-block hours of event time older than a previous
+    trigger's max, and the watermarked dedup stage (correctly) drops those
+    rows as late — nondeterministic trigger composition across runs. A
+    binlog tail delivers files in log order; this makes the fixture honor
+    that contract. (The remaining rows_dropped_late ≈ 2% of the stream are
+    exactly the far-late duplicate re-deliveries whose originals already
+    committed — final-state checksum equality with the batch replay proves
+    zero real-event loss.) Idempotent."""
+    files = sorted(
+        os.path.join(events_dir, f) for f in os.listdir(events_dir)
+        if f.startswith("part-")
+    )
+    base_t = 1_600_000_000  # any fixed epoch; only the ORDER matters
+    for i, f in enumerate(files):
+        os.utime(f, (base_t + i, base_t + i))
 
 
 def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int = 1) -> dict:
@@ -308,7 +334,9 @@ def scaling_worker(cores: int, n_ev: int):
         # same events through the Structured Streaming path (multi-trigger,
         # checkpointed, watermarked dedup state) — the north rule's replay
         # is stream-shaped, so scaling evidence must cover this path too
-        st = run_cdc_stream_replay(spark, fx, num_buckets=64)
+        st = run_cdc_stream_replay(
+            spark, fx, num_buckets=64,
+            n_triggers=int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "4")))
         r["stream_rate"] = st["events_per_sec"]
         r["stream_wall"] = st["wall_sec"]
         r["stream_triggers"] = st["triggers"]
@@ -367,9 +395,13 @@ def run_scaling():
     def one_trial(cores: int) -> dict:
         # fresh process per TRIAL: a shared JVM would leak JIT warm-up and
         # heap aging across trials/levels
+        # 2400s: a worker now also runs the multi-trigger streaming replay,
+        # which at the low parallelism level costs several batch-replays'
+        # worth of wall (per-trigger table-merge + state-store + checkpoint
+        # overhead — the serial cost the streaming section exists to measure)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_ev)],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=2400,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("SCALING_RESULT ")]
         if not line:

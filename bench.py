@@ -49,6 +49,10 @@ HEADLINE = [
     "ngram_jaccard_docs",
     "minhash_lsh_docs",
     "embedding_topk",
+    # round-3 additions (suite total grows accordingly; round-over-round
+    # comparison is per-query)
+    "q7_volume_shipping",
+    "q21_waiting_suppliers",
 ]
 
 

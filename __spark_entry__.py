@@ -1764,8 +1764,11 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8
         """,
+        # AS MATERIALIZED on every CTE feeding the recursion: DuckDB inlines
+        # plain CTEs, so each recursive iteration would otherwise re-run the
+        # full shingle self-join (minutes at sf0.1) once per depth level
         "near_dup_components_docs": """
-            WITH RECURSIVE sh AS (
+            WITH RECURSIVE sh AS MATERIALIZED (
                 SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
                 FROM documents, UNNEST(range(1, length(text) - 3)) AS u(i)
                 WHERE length(text) >= 5),
@@ -1779,7 +1782,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM inter JOIN sizes sa ON sa.doc_id = id_a
                            JOIN sizes sb ON sb.doc_id = id_b
                 WHERE round(i / (sa.sz + sb.sz - i), 6) >= 0.8),
-            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                       UNION SELECT id_b, id_a FROM pairs),
             reach(n, m) AS (
                 SELECT a, a FROM (SELECT DISTINCT a FROM edges)

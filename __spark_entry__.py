@@ -1141,6 +1141,25 @@ def seq_length_filter_events(spark, sf_dir):
 
 _CDC_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "datavec_cdc_oracle_fixture_v1")
 
+# SQL LWW replay over the shared fixture — the oracle for BOTH the batch
+# replay gate and the streaming replay gate (they must agree with it and
+# therefore with each other)
+_CDC_FINAL_STATE_SQL = f"""
+    WITH ev AS (
+        SELECT seq, op, repo, path, content
+        FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet')
+        WHERE op IN ('insert', 'update', 'delete')),
+    base AS (
+        SELECT 0::BIGINT AS seq, 'insert' AS op, repo, path, content
+        FROM read_parquet('{_CDC_FIXTURE_DIR}/base.parquet')),
+    u AS (SELECT * FROM ev UNION ALL SELECT * FROM base),
+    w AS (
+        SELECT repo, path, op, content FROM u
+        QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1)
+    SELECT repo, path, sha256(content) AS content_sha
+    FROM w WHERE op <> 'delete'
+"""
+
 
 def _ensure_cdc_fixture() -> str:
     """Deterministic CDC fixture (seeded datagen, pure pyarrow — no Spark):
@@ -1206,6 +1225,37 @@ def cdc_replay_final_state(spark, sf_dir):
     from the same parquet fixture."""
     eng = _cdc_replay_fixture(spark)
     return eng.final_state_hashes(spark).orderBy("repo", "path")
+
+
+_CDC_STREAM_ENGINE = None
+
+
+def cdc_stream_final_state(spark, sf_dir):
+    """The STREAMING replay path through the driver oracle: run_stream
+    (Structured Streaming file tail, maxFilesPerTrigger=1 → 4 triggers,
+    watermarked dedup, checkpointed foreachBatch epoch-fenced merges) over
+    the shared fixture; the oracle is the same SQL LWW replay that checks
+    the batch path — equality proves the micro-batched, stateful,
+    checkpointed pipeline converges to the identical final table. The
+    watermark delay is sized past the fixture's max lateness so the
+    equality is exact (the lateness-SLA drop behavior is covered separately
+    by test_streaming_dedup_state_bounded)."""
+    global _CDC_STREAM_ENGINE
+    from datavec_spark.streaming.replay import CdcEngine
+
+    if _CDC_STREAM_ENGINE is None:
+        fix = _ensure_cdc_fixture()
+        tmp = tempfile.mkdtemp(prefix="cdc_stream_entry_")
+        eng = CdcEngine(os.path.join(tmp, "repos"), num_buckets=8)
+        eng.bootstrap(spark, spark.read.parquet(os.path.join(fix, "base.parquet")))
+        q = eng.run_stream(
+            spark, os.path.join(fix, "events"), os.path.join(tmp, "ckpt"),
+            watermark_delay="1000 hours", max_files_per_trigger=1,
+            available_now=True,
+        )
+        q.awaitTermination()
+        _CDC_STREAM_ENGINE = eng
+    return _CDC_STREAM_ENGINE.final_state_hashes(spark).orderBy("repo", "path")
 
 
 def cdc_lineage_rows(spark, sf_dir):
@@ -1299,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ip_region_counts": geo_ip_region_counts,
         "seq_length_filter_events": seq_length_filter_events,
         "cdc_replay_final_state": cdc_replay_final_state,
+        "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
     }
 
@@ -1834,21 +1885,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id HAVING count(*) >= 60
         """,
-        "cdc_replay_final_state": f"""
-            WITH ev AS (
-                SELECT seq, op, repo, path, content
-                FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet')
-                WHERE op IN ('insert', 'update', 'delete')),
-            base AS (
-                SELECT 0::BIGINT AS seq, 'insert' AS op, repo, path, content
-                FROM read_parquet('{_CDC_FIXTURE_DIR}/base.parquet')),
-            u AS (SELECT * FROM ev UNION ALL SELECT * FROM base),
-            w AS (
-                SELECT repo, path, op, content FROM u
-                QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1)
-            SELECT repo, path, sha256(content) AS content_sha
-            FROM w WHERE op <> 'delete'
-        """,
+        "cdc_replay_final_state": _CDC_FINAL_STATE_SQL,
+        # the STREAMING path must converge to the same final table, so it
+        # shares the batch path's SQL replay oracle verbatim
+        "cdc_stream_final_state": _CDC_FINAL_STATE_SQL,
         "cdc_lineage_rows": f"""
             WITH ev AS (
                 SELECT seq, ts,

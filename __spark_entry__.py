@@ -1227,6 +1227,21 @@ def cdc_replay_final_state(spark, sf_dir):
     return eng.final_state_hashes(spark).orderBy("repo", "path")
 
 
+def cdc_final_schema(spark, sf_dir):
+    """Schema evolution through the replay (north rule: add/rename/widen
+    applied in commit order): the fixture's deterministic script adds
+    stars:int, renames it to stargazers, widens it to long, and renames
+    lang→language mid-stream. The gate returns the final table schema
+    (position, name, type); the oracle is the script's expected outcome as
+    a VALUES literal — all four evolution ops are visible in the result
+    (appended+renamed+widened stargazers:bigint, renamed language), plus
+    the engine's metadata columns (_seq LWW fence, _deleted tombstone)."""
+    eng = _cdc_replay_fixture(spark)
+    fields = eng.table().schema_struct().fields
+    rows = [(i, f.name, f.dataType.simpleString()) for i, f in enumerate(fields)]
+    return spark.createDataFrame(rows, "pos int, field_name string, field_type string")
+
+
 _CDC_STREAM_ENGINE = None
 
 
@@ -1351,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
+        "cdc_final_schema": cdc_final_schema,
     }
 
 
@@ -1889,6 +1905,18 @@ def oracle_sql() -> dict[str, str]:
         # the STREAMING path must converge to the same final table, so it
         # shares the batch path's SQL replay oracle verbatim
         "cdc_stream_final_state": _CDC_FINAL_STATE_SQL,
+        # invariant-style oracle: the fixture's schema-evolution script is
+        # deterministic, so the expected final schema is a known literal
+        # (the interesting computation — applying add/rename/widen in seq
+        # order with field-id binding — happens on the Spark side)
+        "cdc_final_schema": """
+            SELECT * FROM (VALUES
+                (0, 'repo', 'string'), (1, 'path', 'string'),
+                (2, 'commit', 'string'), (3, 'language', 'string'),
+                (4, 'content', 'string'), (5, '_seq', 'bigint'),
+                (6, '_deleted', 'boolean'), (7, 'stargazers', 'bigint')
+            ) v(pos, field_name, field_type)
+        """,
         "cdc_lineage_rows": f"""
             WITH ev AS (
                 SELECT seq, ts,

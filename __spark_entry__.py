@@ -732,6 +732,16 @@ def doc_quality_counts(spark, sf_dir):
     )
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/quality signals per document (type-token
+    ratio, most-common-token fraction, mean word length) — the standard
+    pretraining corpus filter, fully JVM-side."""
+    from datavec_spark.functions.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return repetition_stats(d)
+
+
 def doc_fingerprint_groups(spark, sf_dir):
     from datavec_spark.functions.dedup import near_dup_fingerprint
 
@@ -1346,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": histogram_order_price,
         "token_stats_by_lang": token_stats_by_lang,
         "doc_quality_counts": doc_quality_counts,
+        "doc_repetition_stats": doc_repetition_stats,
         "doc_fingerprint_groups": doc_fingerprint_groups,
         "exact_dup_docs": exact_dup_docs,
         "dedup_exact_docs_count": dedup_exact_docs_count,
@@ -1888,6 +1899,21 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT * FROM (VALUES ('the',0),('and',1),('of',2),('to',3),
                                         ('a',4),('in',5),('is',6),('for',7)) v(term, tidx))
             SELECT doc_id, _exp_idx, tidx::INT AS tidx FROM t JOIN m USING (term)
+        """,
+        "doc_repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM toks WHERE tok <> '' GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_words,
+                   count(*)::BIGINT AS n_distinct,
+                   round(count(*) / sum(c), 4) AS distinct_frac,
+                   round(max(c) / sum(c), 4) AS top_word_frac,
+                   round(sum(length(tok) * c) / sum(c), 4) AS mean_word_len
+            FROM tc GROUP BY doc_id
         """,
         "geo_ip_region_counts": """
             SELECT CASE WHEN user_id % 200 < 50 THEN 'US-EAST'

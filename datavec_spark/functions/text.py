@@ -60,6 +60,31 @@ def mean_word_length(col: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style per-document repetition signals (public Rae et al. 2021
+    quality rules, word-level form): token count, distinct-token count,
+    type-token ratio (low ⇒ repetitive boilerplate), most-common-token
+    fraction (high ⇒ degenerate repetition), mean word length. One explode
+    + two keyed aggregations, all JVM expressions — the standard pretraining
+    corpus filter computed corpus-wide in two shuffles. Empty/whitespace
+    docs are excluded (no tokens to measure)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_frac"),
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_word_frac"),
+            F.round(F.sum(F.length("tok") * F.col("c")) / F.sum("c"), 4)
+             .alias("mean_word_len"),
+        )
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: length, punctuation, alpha and
     stopword ratios (the classic Gopher/C4-style cheap filters)."""

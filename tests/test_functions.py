@@ -252,3 +252,19 @@ def test_connected_components_and_keepers(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_keepers(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]
+
+
+def test_repetition_stats(spark):
+    from datavec_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"), (2, "a b c d"), (3, "  "), (4, "aa bb aa")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert 3 not in rows  # whitespace-only doc has no tokens
+    assert rows[1]["n_words"] == 4 and rows[1]["n_distinct"] == 1
+    assert rows[1]["top_word_frac"] == 1.0 and rows[1]["distinct_frac"] == 0.25
+    assert rows[2]["distinct_frac"] == 1.0 and rows[2]["top_word_frac"] == 0.25
+    assert rows[4]["n_words"] == 3 and rows[4]["top_word_frac"] == round(2 / 3, 4)
+    assert rows[4]["mean_word_len"] == 2.0

@@ -732,6 +732,24 @@ def doc_quality_counts(spark, sf_dir):
     )
 
 
+def pack_docs_bins(spark, sf_dir):
+    """Sequence packing: assign documents to 512-token training bins by
+    cumulative starting offset in doc_id order (two-phase scalable cumsum —
+    no single-partition window), rolled up per bin. The oracle mirrors the
+    packing rule with a SQL window cumsum."""
+    from datavec_spark.functions.text import token_count
+    from datavec_spark.operators.sequence import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_sequences(d, "doc_id", "n_tok", budget=512)
+    return (
+        packed.groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("total_tokens"))
+    )
+
+
 def doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition/quality signals per document (type-token
     ratio, most-common-token fraction, mean word length) — the standard
@@ -1356,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": histogram_order_price,
         "token_stats_by_lang": token_stats_by_lang,
         "doc_quality_counts": doc_quality_counts,
+        "pack_docs_bins": pack_docs_bins,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_fingerprint_groups": doc_fingerprint_groups,
         "exact_dup_docs": exact_dup_docs,
@@ -1899,6 +1918,22 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT * FROM (VALUES ('the',0),('and',1),('of',2),('to',3),
                                         ('a',4),('in',5),('is',6),('for',7)) v(term, tidx))
             SELECT doc_id, _exp_idx, tidx::INT AS tidx FROM t JOIN m USING (term)
+        """,
+        "pack_docs_bins": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS n_tok
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tok,
+                       sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+            SELECT floor((cum - n_tok) / 512)::BIGINT AS bin_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS total_tokens
+            FROM c GROUP BY bin_id
         """,
         "doc_repetition_stats": r"""
             WITH toks AS (

@@ -143,7 +143,11 @@ def rank_scalable(df: DataFrame, column: str, out: str = "rank", ascending: bool
     parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order) \
                .sortWithinPartitions(order)
     pid = F.spark_partition_id()
-    with_pid = parted.withColumn("_pid", pid)
+    # persist is REQUIRED for correctness, not just cost: repartitionByRange
+    # samples its range boundaries per job, so without materialization the
+    # offsets job and the output job can land rows in different partitions
+    # (observed: nondeterministic global ranks on 5k rows)
+    with_pid = parted.withColumn("_pid", pid).persist()
     counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}
     acc = 0
@@ -153,6 +157,51 @@ def rank_scalable(df: DataFrame, column: str, out: str = "rank", ascending: bool
     omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     local_rn = F.row_number().over(Window.partitionBy("_pid").orderBy(order)) - 1
     return with_pid.withColumn(out, local_rn + F.element_at(omap, F.col("_pid"))).drop("_pid")
+
+
+def cumsum_scalable(df: DataFrame, order_col: str, weight_col: str,
+                    out: str = "cumsum") -> DataFrame:
+    """Global running sum of `weight_col` in `order_col` order WITHOUT a
+    single-partition window: range-partition + sort within partitions,
+    per-partition totals (tiny driver collect, one row per partition) become
+    broadcast offsets, global cumsum = local window cumsum + offset — the
+    same two-phase shape as rank_scalable. INCLUSIVE of the current row."""
+    order = F.col(order_col).asc()
+    parted = df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism, order) \
+               .sortWithinPartitions(order)
+    # persist before the two dependent jobs: repartitionByRange samples its
+    # range boundaries PER JOB, so an unmaterialized plan can partition the
+    # offsets job and the output job differently (same defect class as
+    # rank_scalable — see its comment)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("t")) \
+                     .orderBy("_pid").collect()
+    offsets = {}
+    acc = 0
+    for r in totals:
+        offsets[r["_pid"]] = acc
+        acc += r["t"] or 0
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("_pid").orderBy(order) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    local = F.sum(weight_col).over(w)
+    return with_pid.withColumn(out, local + F.element_at(omap, F.col("_pid"))).drop("_pid")
+
+
+def pack_sequences(df: DataFrame, order_col: str, weight_col: str,
+                   budget: int, out: str = "bin_id") -> DataFrame:
+    """Contiguous sequence packing for training pipelines: assign each
+    record (document) to a token-budget bin by its cumulative starting
+    offset in `order_col` order — bin_id = floor(start_offset / budget),
+    start_offset = cumsum(weight) − weight. Deterministic (no greedy
+    order-dependence beyond the declared order), exactly SQL-mirrorable,
+    and scalable via the two-phase cumsum (no single-partition window). A
+    record longer than the budget still gets the bin its start falls in —
+    the downstream splitter's concern, not the packer's."""
+    c = cumsum_scalable(df, order_col, weight_col, out="_cum")
+    return c.withColumn(
+        out, F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(budget))
+    ).drop("_cum")
 
 
 def sequence_merge(dfs: list[DataFrame]) -> DataFrame:

@@ -102,3 +102,30 @@ def test_sorted_rank_and_scalable_rank(spark, seqdf):
     out2 = rank_scalable(seqdf, "v", "rank")
     got2 = {r["v"]: r["rank"] for r in out2.collect()}
     assert got2 == got
+
+
+def test_cumsum_and_pack_sequences(spark):
+    """Two-phase cumsum equals a single-partition reference; packing bins
+    by starting offset; rank/cumsum must be stable across repeated jobs
+    (the repartitionByRange per-job resampling defect)."""
+    from pyspark.sql import functions as F
+
+    from datavec_spark.operators.sequence import cumsum_scalable, pack_sequences
+
+    df = spark.range(1, 1001).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("w"))
+    c = cumsum_scalable(df, "doc_id", "w")
+    rows = {r["doc_id"]: r["cumsum"] for r in c.collect()}
+    expected, acc = {}, 0
+    for r in sorted(df.collect(), key=lambda r: r["doc_id"]):
+        acc += r["w"]
+        expected[r["doc_id"]] = acc
+    assert rows == expected
+    # repeated evaluation is stable (persist pins the partitioning)
+    assert {r["doc_id"]: r["cumsum"] for r in c.collect()} == expected
+
+    p = pack_sequences(df, "doc_id", "w", budget=500)
+    got = {r["doc_id"]: r["bin_id"] for r in p.collect()}
+    for did, cum in expected.items():
+        w = cum - (expected.get(did - 1, 0) if did > 1 else 0)
+        assert got[did] == (cum - w) // 500

@@ -732,6 +732,18 @@ def doc_quality_counts(spark, sf_dir):
     )
 
 
+def corpus_mix_counts(spark, sf_dir):
+    """Corpus mixing: deterministic stratified down-sampling (en→50%,
+    zh→20%, other strata kept whole) via id-mod systematic sampling — a
+    reproducible, shuffle-free mixture step; per-lang counts after
+    sampling. The oracle applies the identical mod rule in SQL."""
+    from datavec_spark.functions.text import sample_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = sample_corpus(d, {"en": 0.5, "zh": 0.2}, strata_col="lang")
+    return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def pack_docs_bins(spark, sf_dir):
     """Sequence packing: assign documents to 512-token training bins by
     cumulative starting offset in doc_id order (two-phase scalable cumsum —
@@ -1374,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": histogram_order_price,
         "token_stats_by_lang": token_stats_by_lang,
         "doc_quality_counts": doc_quality_counts,
+        "corpus_mix_counts": corpus_mix_counts,
         "pack_docs_bins": pack_docs_bins,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_fingerprint_groups": doc_fingerprint_groups,
@@ -1918,6 +1931,13 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT * FROM (VALUES ('the',0),('and',1),('of',2),('to',3),
                                         ('a',4),('in',5),('is',6),('for',7)) v(term, tidx))
             SELECT doc_id, _exp_idx, tidx::INT AS tidx FROM t JOIN m USING (term)
+        """,
+        "corpus_mix_counts": """
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents
+            WHERE NOT ((lang = 'en' AND doc_id % 1000 >= 500)
+                       OR (lang = 'zh' AND doc_id % 1000 >= 200))
+            GROUP BY lang
         """,
         "pack_docs_bins": r"""
             WITH t AS (

@@ -60,6 +60,25 @@ def mean_word_length(col: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def sample_corpus(df: DataFrame, fractions: dict[str, float],
+                  strata_col: str = "lang", id_col: str = "doc_id",
+                  modulus: int = 1000) -> DataFrame:
+    """Deterministic stratified corpus sampling (the corpus-mixing step of
+    a pretraining pipeline: down-weight over-represented strata to hit a
+    target mixture). A record survives iff id % modulus < frac(stratum) *
+    modulus — systematic sampling keyed on the stable id, so the sample is
+    reproducible run-to-run and cluster-size-independent (df.sampleBy's
+    per-partition RNG is neither), and exactly re-derivable in SQL. Strata
+    absent from `fractions` are kept whole. Pure narrow filter: no shuffle,
+    predicate evaluates at the scan."""
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & \
+               (F.pmod(F.col(id_col), F.lit(modulus)) >= int(round(frac * modulus)))
+        expr = cond if expr is None else (expr | cond)
+    return df.where(~expr) if expr is not None else df
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Gopher-style per-document repetition signals (public Rae et al. 2021

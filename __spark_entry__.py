@@ -732,6 +732,29 @@ def doc_quality_counts(spark, sf_dir):
     )
 
 
+def asof_click_before_purchase(spark, sf_dir):
+    """AS-OF (point-in-time) join: each purchase matched to the user's
+    latest click at-or-before it. Spark side runs the merge-sorted
+    union + windowed gap-fill rewrite (one shuffle, no range explosion);
+    the oracle runs DuckDB's NATIVE `ASOF LEFT JOIN` — a hash match proves
+    the rewrite implements the inclusive as-of semantics exactly."""
+    from datavec_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 4).alias("click_value"))
+    out = asof_join(p, c, ["user_id"], "ts", ["click_value"])
+    # no-prior-click purchases keep explicit sentinels (the driver compare
+    # sorts row tuples; NULLs are left-outer semantics, sentinels make them
+    # order-stable on both engines)
+    return out.select(
+        "user_id", "ts", "event_id",
+        F.coalesce("asof_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("asof_ts"),
+        F.coalesce("asof_click_value", F.lit(-1.0)).alias("asof_click_value"),
+    )
+
+
 def corpus_mix_counts(spark, sf_dir):
     """Corpus mixing: deterministic stratified down-sampling (en→50%,
     zh→20%, other strata kept whole) via id-mod systematic sampling — a
@@ -1386,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": histogram_order_price,
         "token_stats_by_lang": token_stats_by_lang,
         "doc_quality_counts": doc_quality_counts,
+        "asof_click_before_purchase": asof_click_before_purchase,
         "corpus_mix_counts": corpus_mix_counts,
         "pack_docs_bins": pack_docs_bins,
         "doc_repetition_stats": doc_repetition_stats,
@@ -1931,6 +1955,16 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT * FROM (VALUES ('the',0),('and',1),('of',2),('to',3),
                                         ('a',4),('in',5),('is',6),('for',7)) v(term, tidx))
             SELECT doc_id, _exp_idx, tidx::INT AS tidx FROM t JOIN m USING (term)
+        """,
+        "asof_click_before_purchase": """
+            SELECT p.user_id, p.ts, p.event_id,
+                   coalesce(c.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+                   coalesce(round(c.value, 4), -1.0) AS asof_click_value
+            FROM (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'click') c
+                 ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "corpus_mix_counts": """
             SELECT lang, count(*)::BIGINT AS n_docs

@@ -62,3 +62,53 @@ def join(
 @op("join")
 def _join_op(df, right_df, join_type, left_keys, right_keys=None, broadcast_right=False):
     return join(df, right_df, join_type, left_keys, right_keys, broadcast_right)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time (AS-OF) join: for each left row, the single latest
+    right row with right.ts <= left.ts per key — the time-series join Spark
+    has no native operator for (and a naive range join explodes into
+    |left|x|right| per key before picking the max).
+
+    Lowering: merge-sorted union + windowed gap-fill. Tag both sides, union
+    on (keys, ts, right value cols), then last(value, ignorenulls=True)
+    over (partitionBy keys orderBy ts, side) carries each right value
+    forward to every later left row; keep the left rows. Cost: ONE shuffle
+    of |left|+|right| rows on the key — the same plan shape at any scale,
+    no range explosion, no skew beyond the key's own. Right rows at ts
+    equal to a left row match (side orders right before left on ties),
+    mirroring the inclusive ASOF convention (DuckDB's `ON l.ts >= r.ts` —
+    the gate's oracle runs DuckDB's NATIVE ASOF JOIN against this rewrite).
+    Left rows with no prior right row keep NULL values (left-outer)."""
+    from pyspark.sql import Window
+
+    lt = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    extra = [c for c in left.columns if c not in keys + [ts_col]]
+    rt = right.select(*keys, ts_col, *value_cols).withColumn("_side", F.lit(0))
+    for c in extra:
+        rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.select(*keys, ts_col, *extra, *value_cols, "_side") \
+          .unionByName(rt.select(*keys, ts_col, *extra, *value_cols, "_side"))
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col("_side").asc()) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    filled = u
+    renames = {}
+    for c in value_cols:
+        renames[c] = prefix + c
+        filled = filled.withColumn(prefix + c, F.last(c, ignorenulls=True).over(w))
+    filled = filled.withColumn(prefix + ts_col,
+                               F.last(F.when(F.col("_side") == 0, F.col(ts_col)),
+                                      ignorenulls=True).over(w))
+    return (
+        filled.where(F.col("_side") == 1)
+        .select(*keys, ts_col, *extra, prefix + ts_col, *[renames[c] for c in value_cols])
+    )

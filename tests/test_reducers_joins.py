@@ -144,3 +144,29 @@ def test_append_with_condition_and_order(spark):
         condition={"op": "!=", "column": "s", "value": "skip"},
         order_col="t", aliases={"Prepend(s)": "joined"})
     assert out2.collect()[0]["joined"] == "cba"
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of: a right row AT the left ts matches; later rights
+    don't; no-prior-right rows yield NULLs; each left row gets exactly the
+    latest qualifying right row per key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datavec_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(5), "b"), (2, t(100), "c"), (3, t(50), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 1.0), (1, t(8), 2.0), (1, t(11), 3.0), (2, t(100), 7.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = {r["tag"]: r for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    assert out["a"]["asof_v"] == 2.0 and out["a"]["asof_ts"] == t(8)
+    assert out["b"]["asof_v"] == 1.0  # exact-ts right row matches (inclusive)
+    assert out["c"]["asof_v"] == 7.0 and out["c"]["asof_ts"] == t(100)
+    assert out["d"]["asof_v"] is None and out["d"]["asof_ts"] is None

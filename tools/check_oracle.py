@@ -31,7 +31,9 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    # sort key stringifies cells so NULL-bearing rows stay orderable
+    return sorted((tuple(norm_cell(r[i]) for i in idx) for r in rows),
+                  key=lambda t: tuple(repr(c) for c in t))
 
 
 def main():

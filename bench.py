@@ -409,7 +409,15 @@ def run_scaling():
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("SCALING_RESULT ")]
         if not line:
-            raise RuntimeError(f"scaling worker {cores} failed: {proc.stderr[-2000:]}")
+            dump = os.path.join(tempfile.gettempdir(), f"scaling_worker_{cores}_fail.log")
+            with open(dump, "w") as fh:
+                fh.write(proc.stderr)
+            # first exception line beats the tail of a java stack trace
+            err_lines = [ln for ln in proc.stderr.splitlines()
+                         if "Error" in ln or "Exception" in ln][:3]
+            raise RuntimeError(
+                f"scaling worker {cores} failed (full stderr: {dump}): "
+                + " | ".join(err_lines)[:500])
         return json.loads(line[-1].split(" ", 1)[1])
 
     # INTERLEAVED trials (lo, hi, lo, hi, ...): the sandbox host has bursty

@@ -316,6 +316,7 @@ class CdcEngine:
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
         transform_chain=None,
+        state_store: str | None = None,
     ):
         """Structured Streaming tail of the event-file directory.
 
@@ -345,7 +346,7 @@ class CdcEngine:
         return self.run_stream_df(
             spark, reader.parquet(events_dir), checkpoint_dir,
             watermark_delay=watermark_delay, available_now=available_now,
-            transform_chain=transform_chain,
+            transform_chain=transform_chain, state_store=state_store,
         )
 
     def run_stream_df(
@@ -356,12 +357,27 @@ class CdcEngine:
         watermark_delay: str = "120 minutes",
         available_now: bool = True,
         transform_chain=None,
+        state_store: str | None = None,
     ):
         """Source-agnostic streaming entry: any streaming DataFrame with the
         EVENT_SPARK_SCHEMA columns (file tail, Kafka value-parsed stream,
         rate-source adapter, socket...) gets the same watermarked dedup +
         epoch-fenced merge pipeline. The file form (run_stream) is sugar
-        over this."""
+        over this.
+
+        state_store: None keeps the session default (in-memory HDFS-backed
+        store); 'rocksdb' selects RocksDBStateStoreProvider. Measured
+        tradeoff on the 12M-event fixture at local[16] (BENCH/BASELINE.md):
+        the in-memory store wins when per-trigger dedup state is small
+        (6M rows: 31 s vs 57 s), RocksDB wins 2.4x when state is large
+        (12M rows: 42 s vs 99 s) — and at 10^10-event scale, where a
+        trigger's dedup state cannot fit a JVM heap at all, RocksDB is the
+        only viable provider."""
+        if state_store == "rocksdb":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         stream = (
             events_stream
             .withWatermark("ts", watermark_delay)

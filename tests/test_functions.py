@@ -268,3 +268,24 @@ def test_repetition_stats(spark):
     assert rows[2]["distinct_frac"] == 1.0 and rows[2]["top_word_frac"] == 0.25
     assert rows[4]["n_words"] == 3 and rows[4]["top_word_frac"] == round(2 / 3, 4)
     assert rows[4]["mean_word_len"] == 2.0
+
+
+def test_html_analysis_report(spark, tmp_path):
+    """HtmlAnalysis parity: summary table + quantiles + SVG histograms from
+    an analyze() dict, self-contained HTML, escaping applied."""
+    from datavec_spark.functions.analysis import analyze
+    from datavec_spark.functions.html_report import render_analysis_html, write_analysis_html
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"name<{i}>") for i in range(100)],
+        "id long, score double, label string",
+    )
+    a = analyze(df, hist_buckets=10)
+    out = render_analysis_html(a, title="t & t", generated_at="2026-01-01")
+    assert out.startswith("<!DOCTYPE html>")
+    assert "t &amp; t" in out                      # escaped title
+    assert "<svg" in out and out.count("<rect") >= 10   # histogram bars
+    assert "score" in out and "rows analysed: 100" in out
+    assert "p50" in out                             # quantile table header
+    p = write_analysis_html(a, str(tmp_path / "report.html"))
+    assert open(p).read().startswith("<!DOCTYPE html>")

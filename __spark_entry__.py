@@ -20,6 +20,8 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from datavec_spark.cache import track as _cache_track
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -279,6 +281,7 @@ def q15_top_supplier(spark, sf_dir):
              .alias("total_revenue"))
         .persist()
     )
+    _cache_track(rev)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
@@ -997,7 +1000,10 @@ def label_cosine_stats(spark, sf_dir):
     dims = e.select("label", F.posexplode(unit).alias("pos", "u"))
     per_dim = dims.groupBy("label", "pos").agg(F.sum("u").alias("s"))
     sumsq = per_dim.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("sumsq"))
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # labels with a single member have no pairs: the all-pairs oracle emits
+    # no row for them, so neither may we (and n(n-1) would divide by zero)
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n")) \
+              .where(F.col("n") >= 2)
     nd = F.col("n").cast("double")
     return (
         sumsq.join(counts, "label")
@@ -1033,6 +1039,84 @@ def ann_ivf_topk(spark, sf_dir):
     return spark.createDataFrame(
         [(10, len(full_ids), bool(full_ids == brute_ids))],
         "k int, n_results int, full_probe_matches_brute boolean",
+    )
+
+
+_IVF_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "datavec_ivf_recall_fixture_v1")
+
+
+def _ensure_ivf_fixture() -> str:
+    """Deterministic CLUSTERED embedding fixture for the partial-probe
+    recall gate (round-3 verdict item #5): 12 well-separated Gaussian
+    clusters × 100 points, dim 16, seeded numpy — written once to parquet
+    so the IVF index, the brute-force oracle, and any rerun see the exact
+    same vectors. (The sf embeddings table is near-uniform, so partial-probe
+    recall there is data-dependent; a clustered corpus is the shape IVF is
+    FOR, and makes the ≥0.9 recall contract deterministic.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(_IVF_FIXTURE_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return _IVF_FIXTURE_DIR
+    os.makedirs(_IVF_FIXTURE_DIR, exist_ok=True)
+    rng = np.random.RandomState(4242)
+    n_clusters, per_cluster, dim = 12, 100, 16
+    centers = rng.randn(n_clusters, dim) * 25.0
+    vecs = np.concatenate(
+        [centers[c] + rng.randn(per_cluster, dim) for c in range(n_clusters)]
+    ).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, os.path.join(_IVF_FIXTURE_DIR, "clustered.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return _IVF_FIXTURE_DIR
+
+
+def ann_ivf_recall(spark, sf_dir):
+    """IVF partial-probe recall contract on the clustered fixture: recall@10
+    vs brute-force cosine must be ≥0.9 at nprobe=2 and nprobe=8 (of 12
+    centroids), and more probes must never lose recall. This is the
+    accuracy/speed tradeoff the full-probe invariant (ann_ivf_topk) cannot
+    see: pruning 10/12 of the index while keeping ≥90% of true neighbors is
+    the property that makes IVF the 100 TB path. 8 queries = members of 8
+    distinct clusters, so the gate spans most partitions. All inputs are
+    seeded/deterministic → the booleans are constants a SQL oracle can
+    assert."""
+    from datavec_spark.functions.similarity import IvfIndex, cosine_topk, train_ivf_centroids
+
+    fix = _ensure_ivf_fixture()
+    e = spark.read.parquet(os.path.join(fix, "clustered.parquet"))
+    cents = train_ivf_centroids(e, n_centroids=12, iters=3)
+    queries = [
+        [float(x) for x in r["embedding"]]
+        for r in e.where(F.col("vec_id").isin([0, 150, 250, 350, 450, 550, 650, 750]))
+                  .orderBy("vec_id").select("embedding").collect()
+    ]
+    idx = IvfIndex(e, cents)
+    try:
+        recalls = {}
+        for nprobe in (2, 8):
+            hits = total = 0
+            for q in queries:
+                truth = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+                got = {r["vec_id"] for r in idx.search(q, k=10, nprobe=nprobe).collect()}
+                hits += len(truth & got)
+                total += len(truth)
+            recalls[nprobe] = hits / total
+    finally:
+        idx.drop()
+    return spark.createDataFrame(
+        [(len(queries), 10,
+          bool(recalls[2] >= 0.9), bool(recalls[8] >= 0.9),
+          bool(recalls[8] >= recalls[2]))],
+        "n_queries int, k int, recall_nprobe2_ok boolean, "
+        "recall_nprobe8_ok boolean, recall_monotone boolean",
     )
 
 
@@ -1365,62 +1449,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Gate registry. ORDER MATTERS: the driver records CORRECTNESS rows for
+    the FIRST 50 entries only, so registration order is a rotation schedule
+    (round-3 verdict item #1). Policy: gates with the fewest prior driver
+    rows come first — (a) never-driver-checked, (b) no row last round,
+    (c) new this round, (d) one prior row, (e) two, (f) three+ (these
+    rotate out this round and return to the front next round). The full
+    schedule is documented in COVERAGE.md §driver-window rotation."""
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q6_revenue_forecast": q6_revenue_forecast,
-        "q10_returned_items": q10_returned_items,
-        "q4_order_priority": q4_order_priority,
-        "q12_shipmode": q12_shipmode,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q22_no_orders": q22_no_orders,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "join_left_outer_counts": join_left_outer_counts,
-        "reduce_multiop_orders": reduce_multiop_orders,
-        "conditional_reduce_orders": conditional_reduce_orders,
-        "pivot_status": pivot_status,
-        "rollup_orders": rollup_orders,
-        "rank_orders": rank_orders,
-        "window_lag_diff": window_lag_diff,
-        "moving_avg_events": moving_avg_events,
-        "sessionize_events": sessionize_events,
-        "session_counts": session_counts,
-        "session_window_events": session_window_events,
-        "tumbling_hourly": tumbling_hourly,
-        "sliding_halfhour": sliding_halfhour,
-        "salted_lww_events": salted_lww_events,
-        "salted_collect_events": salted_collect_events,
-        "normalize_events_minmax": normalize_events_minmax,
-        "string_ops_nations": string_ops_nations,
-        "onehot_order_status": onehot_order_status,
-        "derive_time_orders": derive_time_orders,
-        "filter_and_transform_events": filter_and_transform_events,
-        "analysis_lineitem": analysis_lineitem,
-        "most_frequent_brands": most_frequent_brands,
-        "histogram_order_price": histogram_order_price,
-        "token_stats_by_lang": token_stats_by_lang,
-        "doc_quality_counts": doc_quality_counts,
-        "asof_click_before_purchase": asof_click_before_purchase,
-        "corpus_mix_counts": corpus_mix_counts,
-        "pack_docs_bins": pack_docs_bins,
-        "doc_repetition_stats": doc_repetition_stats,
-        "doc_fingerprint_groups": doc_fingerprint_groups,
-        "exact_dup_docs": exact_dup_docs,
-        "dedup_exact_docs_count": dedup_exact_docs_count,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
+        # (a) never driver-checked (0 rows r1-r3)
+        "near_dup_components_docs": near_dup_components_docs,
+        "cdc_stream_final_state": cdc_stream_final_state,
+        "cdc_final_schema": cdc_final_schema,
+        # (b) no r3 row — ex-`no_oracle` LSH gates first
         "minhash_lsh_docs": minhash_lsh_docs,
         "simhash_docs": simhash_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
         "near_dup_scalable_docs": near_dup_scalable_docs,
-        "near_dup_components_docs": near_dup_components_docs,
         "embedding_topk": embedding_topk,
         "label_cosine_stats": label_cosine_stats,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1431,9 +1476,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_ip_region_counts": geo_ip_region_counts,
         "seq_length_filter_events": seq_length_filter_events,
         "cdc_replay_final_state": cdc_replay_final_state,
-        "cdc_stream_final_state": cdc_stream_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
-        "cdc_final_schema": cdc_final_schema,
+        # (c) new in round 4
+        "ann_ivf_recall": ann_ivf_recall,
+        # (d) one prior driver row (new in r3)
+        "q22_no_orders": q22_no_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "asof_click_before_purchase": asof_click_before_purchase,
+        "corpus_mix_counts": corpus_mix_counts,
+        "pack_docs_bins": pack_docs_bins,
+        "doc_repetition_stats": doc_repetition_stats,
+        # (e) two prior driver rows
+        "q4_order_priority": q4_order_priority,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_revenue": q14_promo_revenue,
+        "session_window_events": session_window_events,
+        "sliding_halfhour": sliding_halfhour,
+        "salted_lww_events": salted_lww_events,
+        "salted_collect_events": salted_collect_events,
+        "normalize_events_minmax": normalize_events_minmax,
+        "string_ops_nations": string_ops_nations,
+        "onehot_order_status": onehot_order_status,
+        # (f) three prior rows — 6 stay in the window, the remaining 20
+        # rotate out this round (all green r1+r2+r3) and lead round 5
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "join_left_outer_counts": join_left_outer_counts,
+        "rank_orders": rank_orders,
+        "exact_dup_docs": exact_dup_docs,
+        # ---- driver window ends here (entry 50) ----
+        "q5_region_revenue": q5_region_revenue,
+        "q10_returned_items": q10_returned_items,
+        "reduce_multiop_orders": reduce_multiop_orders,
+        "conditional_reduce_orders": conditional_reduce_orders,
+        "pivot_status": pivot_status,
+        "rollup_orders": rollup_orders,
+        "window_lag_diff": window_lag_diff,
+        "moving_avg_events": moving_avg_events,
+        "sessionize_events": sessionize_events,
+        "session_counts": session_counts,
+        "tumbling_hourly": tumbling_hourly,
+        "derive_time_orders": derive_time_orders,
+        "filter_and_transform_events": filter_and_transform_events,
+        "analysis_lineitem": analysis_lineitem,
+        "most_frequent_brands": most_frequent_brands,
+        "histogram_order_price": histogram_order_price,
+        "token_stats_by_lang": token_stats_by_lang,
+        "doc_quality_counts": doc_quality_counts,
+        "doc_fingerprint_groups": doc_fingerprint_groups,
+        "dedup_exact_docs_count": dedup_exact_docs_count,
     }
 
 
@@ -1926,6 +2026,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_topk": """
             SELECT 10 AS k, 10 AS n_results, true AS full_probe_matches_brute
+        """,
+        "ann_ivf_recall": """
+            SELECT 8 AS n_queries, 10 AS k, true AS recall_nprobe2_ok,
+                   true AS recall_nprobe8_ok, true AS recall_monotone
         """,
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "lang_id_counts": _LANG_ID_ORACLE,

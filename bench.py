@@ -73,12 +73,19 @@ def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
     # a 2-agg scan that subsequently runs in ~1-2 s), which would make
     # per-query times incomparable across rounds
     qs[HEADLINE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from datavec_spark.cache import release_tracked
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # correctness-required persists (LSH signatures, two-phase cumsum
+        # partitions) are registered with cache.track(); release them once
+        # the query is materialized so one query's cache doesn't occupy
+        # executor storage memory during the next query's timing
+        release_tracked()
     return times
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datavec_spark.cache import track
 from datavec_spark.functions.text import char_shingles, fingerprint, word_shingles
 
 
@@ -55,6 +56,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     use_words: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs with exact n-gram Jaccard ≥ threshold.
 
@@ -68,12 +70,16 @@ def ngram_jaccard_pairs(
     than deflating the score (dropping a universally-shared shingle cannot
     turn a true near-dup into a miss)."""
     sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
-    sh = sh.persist()
-    # stop-shingle cap: drop shingles present in >1% of docs (min 100)
-    n_docs = df.count()
+    sh = track(sh.persist())
+    # stop-shingle cap: drop shingles present in >1% of docs (min 100).
+    # n_docs comes from the persisted shingle relation (the count doubles as
+    # the cache-materialization job) — not a separate df.count() scan of the
+    # source, which cost one extra job per call (round-3 advice item).
+    if n_docs is None:
+        n_docs = sh.agg(F.approx_count_distinct(id_col).alias("n")).first()["n"]
     cap = max(int(n_docs * 0.01), 100)
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= cap)
-    sh_f = sh.join(rare.select("shingle"), "shingle").persist()
+    sh_f = track(sh.join(rare.select("shingle"), "shingle").persist())
     sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh_f.alias("a")
@@ -145,7 +151,7 @@ def lsh_pairs_from_minhash(
     and position-equality estimate are all engine-agnostic; only the raw
     xxhash64 signature values are Spark-specific)."""
     rows_per_band = num_hashes // bands
-    sig = sig.persist()
+    sig = track(sig.persist())
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -209,7 +215,7 @@ def near_dup_pairs_scalable(
     for the target threshold."""
     cand = minhash_lsh_pairs(df, text_col, id_col, k=k, num_hashes=num_hashes,
                              bands=bands, verify=False)
-    sh = char_shingles(df, text_col, id_col, k).persist()
+    sh = track(char_shingles(df, text_col, id_col, k).persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -239,14 +245,17 @@ def connected_components(
 
     A dedup pipeline needs this step after pair generation: near-dup is not
     transitive pairwise, but dedup policy usually IS applied per connected
-    group (keep one doc per component). Algorithm: iterative min-label
-    propagation — label(v) := min(label(v), min label of neighbors) until a
-    fixpoint, which converges in O(component diameter) rounds; near-dup
-    components are shallow (chains of near-identical docs), so typically
-    3-5 rounds. Each round is one shuffled join + one groupBy — no driver
-    data beyond a single changed-count per round, so the op scales out.
-    The per-round persist is checkpoint-shaped: labels are tiny (two longs
-    per node) next to the corpus."""
+    group (keep one doc per component). Algorithm: min-label propagation
+    with POINTER DOUBLING — each round takes
+    label(v) := min(label(v), min label of neighbors, label(label(v))),
+    the label-of-label shortcut halving the remaining distance to the
+    component minimum, so convergence is O(log diameter) rounds (round 3's
+    plain propagation was O(diameter) — a chain deeper than max_iter could
+    exhaust the loop). Each round is two shuffled joins + one groupBy — no
+    driver data beyond a single changed-count per round, so the op scales
+    out. Per-round localCheckpoint truncates lineage (an iterated plan
+    otherwise grows until plan compilation itself OOMs); on a real cluster
+    with executor loss, swap for reliable checkpoint(dir)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -254,27 +263,48 @@ def connected_components(
         .persist()
     )
     labels = edges.select(F.col("src").alias("node")).distinct() \
-                  .withColumn("label", F.col("node"))
+                  .withColumn("label", F.col("node")) \
+                  .localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
-        labels = labels.persist()
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src").agg(F.min("label").alias("nmin"))
         )
+        # pointer doubling: label(label(v)) — labels maps every seen node,
+        # and every label IS a node id, so the self-join always resolves
+        lol = (
+            labels.alias("x")
+            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+            .select(F.col("x.node").alias("node"), F.col("y.label").alias("lol"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select("node", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
+            .join(lol, "node", "left")
+            .select("node", F.least(
+                F.col("label"),
+                F.coalesce("nmin", F.col("label")),
+                F.coalesce("lol", F.col("label")),
+            ).alias("label"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.persist()
         changed = (
             labels.alias("o").join(new_labels.alias("n"), "node")
             .where(F.col("o.label") != F.col("n.label")).limit(1).count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component with diameter requiring > max_iter doubling rounds
+        # would otherwise yield split labels with NO signal, and
+        # dedup_keepers would silently keep multiple docs from one true
+        # component — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (a component needs more doubling rounds); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -319,7 +349,7 @@ def simhash_pairs_from_signatures(
     band/bucket/popcount logic re-derived by a SQL oracle from the same
     parquet (bit slicing, bucket join, and bit_count(xor) are all
     engine-agnostic; only the raw xxhash64 token hashes are Spark-specific)."""
-    sig = sig.persist()
+    sig = track(sig.persist())
     width = 64 // bands
     mask = (1 << width) - 1
     band_structs = [

@@ -79,9 +79,27 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+PIXEL_CAP = 1 << 26  # 64M pixels — sanity cap before any allocation
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (height, width, channels) uint8. Palette images are
-    expanded to RGB; grey+alpha / RGBA keep their alpha channel."""
+    expanded to RGB; grey+alpha / RGBA keep their alpha channel.
+
+    EVERY decode failure raises ValueError — a valid signature with a
+    corrupt body (truncated chunk → struct.error, corrupt IDAT →
+    zlib.error, palette index beyond PLTE → IndexError) must not crash a
+    Spark task; the mapInPandas caller catches ValueError and falls back
+    to the deterministic fake, same contract as an undecodable blob."""
+    try:
+        return _decode_png_inner(data)
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib.error, struct.error, IndexError, ...
+        raise ValueError(f"corrupt PNG body: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -110,6 +128,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {colortype}")
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
+    if width == 0 or height == 0 or width * height > PIXEL_CAP:
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
     chans = _CHANNELS[colortype]
     stride = width * chans
     raw = zlib.decompress(bytes(idat))

@@ -69,14 +69,16 @@ def sample_corpus(df: DataFrame, fractions: dict[str, float],
     modulus — systematic sampling keyed on the stable id, so the sample is
     reproducible run-to-run and cluster-size-independent (df.sampleBy's
     per-partition RNG is neither), and exactly re-derivable in SQL. Strata
-    absent from `fractions` are kept whole. Pure narrow filter: no shuffle,
+    absent from `fractions` are kept whole — including a NULL stratum: the
+    drop predicate is coalesced to false so SQL three-valued logic cannot
+    silently discard NULL-stratum rows. Pure narrow filter: no shuffle,
     predicate evaluates at the scan."""
     expr = None
     for stratum, frac in fractions.items():
         cond = (F.col(strata_col) == stratum) & \
                (F.pmod(F.col(id_col), F.lit(modulus)) >= int(round(frac * modulus)))
         expr = cond if expr is None else (expr | cond)
-    return df.where(~expr) if expr is not None else df
+    return df.where(~F.coalesce(expr, F.lit(False))) if expr is not None else df
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datavec_spark.cache import track
+
 from datavec_spark.operators.transforms import op
 
 _WINDOW_AGGS = {"Mean": F.avg, "Min": F.min, "Max": F.max, "Sum": F.sum,
@@ -147,7 +149,7 @@ def rank_scalable(df: DataFrame, column: str, out: str = "rank", ascending: bool
     # samples its range boundaries per job, so without materialization the
     # offsets job and the output job can land rows in different partitions
     # (observed: nondeterministic global ranks on 5k rows)
-    with_pid = parted.withColumn("_pid", pid).persist()
+    with_pid = track(parted.withColumn("_pid", pid).persist())
     counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}
     acc = 0
@@ -173,7 +175,7 @@ def cumsum_scalable(df: DataFrame, order_col: str, weight_col: str,
     # range boundaries PER JOB, so an unmaterialized plan can partition the
     # offsets job and the output job differently (same defect class as
     # rank_scalable — see its comment)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = track(parted.withColumn("_pid", F.spark_partition_id()).persist())
     totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("t")) \
                      .orderBy("_pid").collect()
     offsets = {}

@@ -227,3 +227,41 @@ def test_run_stream_df_rate_shaped_source(spark, tmp_path):
     want = {(r["repo"], r["path"], r["content_sha"])
             for r in eng2.final_state_hashes(spark).collect()}
     assert got == want
+
+
+def test_streaming_schema_evolution_across_restart(spark, tmp_path, fixture):
+    """Round-3 verdict item #8: the schema-evolution chain must survive a
+    checkpoint restart placed BETWEEN evolution events. Run 1 sees the
+    binlog only through add_column + the stars→stargazers rename (chunks
+    0-2 of 6); the engine is then stopped, the rest of the log (widen to
+    long + lang→language rename) arrives, and a fresh run_stream resumes
+    from the same checkpoint. Final schema AND per-row content sha256 must
+    match the pure-Python oracle."""
+    import shutil
+
+    base, events, state, schema = fixture
+    staging = str(tmp_path / "staging")
+    files = write_event_chunks(events, staging, n_chunks=6)
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+    for f in files[:3]:
+        shutil.copy(f, events_dir)
+
+    eng = CdcEngine(str(tmp_path / "repos"), num_buckets=8)
+    eng.bootstrap(spark, base_df(spark, base))
+    ckpt = str(tmp_path / "ckpt")
+    q = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    # mid-log checkpointed state: add + rename applied, widen NOT yet
+    mid = {f.name: f.dataType.simpleString()
+           for f in eng.read_current(spark).schema.fields}
+    assert "stargazers" in mid and mid["stargazers"] == "int"
+    assert "stars" not in mid and "lang" in mid
+
+    # the rest of the binlog arrives; resume from the same checkpoint
+    for f in files[3:]:
+        shutil.copy(f, events_dir)
+    q2 = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert_final_state(spark, eng, state, schema)

@@ -289,3 +289,110 @@ def test_html_analysis_report(spark, tmp_path):
     assert "p50" in out                             # quantile table header
     p = write_analysis_html(a, str(tmp_path / "report.html"))
     assert open(p).read().startswith("<!DOCTYPE html>")
+
+
+def test_sample_corpus_null_stratum_kept(spark):
+    """NULL-stratum rows must survive whatever fractions say (round-3
+    advice: the un-coalesced predicate dropped them via SQL NULL logic)."""
+    from datavec_spark.functions.text import sample_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else None) for i in range(40)],
+        "doc_id long, lang string",
+    )
+    out = sample_corpus(df, {"en": 0.0}, strata_col="lang", modulus=10)
+    langs = [r["lang"] for r in out.collect()]
+    assert langs.count(None) == 20      # every NULL-lang row kept
+    assert langs.count("en") == 0       # en fully sampled out
+    # and a stratum absent from fractions is kept whole
+    out2 = sample_corpus(df, {"fr": 0.0}, strata_col="lang", modulus=10)
+    assert out2.count() == 40
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must fail loudly, not return
+    silently split components (round-3 advice)."""
+    import pytest as _pytest
+
+    from datavec_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    # and the same graph converges fine with enough rounds
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(chain, max_iter=10).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_png_decode_failures_normalized_to_valueerror():
+    """Any corrupt body behind a valid PNG signature must raise ValueError
+    (zlib.error / struct.error / IndexError escaping into a Spark task was
+    the round-3 advice item) so the mapInPandas caller can fall back."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from datavec_spark.functions.png_codec import _PNG_SIG, decode_png, encode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    # truncated IHDR -> struct.error internally
+    with _pytest.raises(ValueError):
+        decode_png(_PNG_SIG + chunk(b"IHDR", b"\x00\x01"))
+    # corrupt IDAT -> zlib.error internally
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with _pytest.raises(ValueError):
+        decode_png(_PNG_SIG + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", b"not zlib data") + chunk(b"IEND", b""))
+    # palette index beyond PLTE -> IndexError internally
+    import numpy as np
+    pal_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 5]))  # filter None, palette index 5
+    with _pytest.raises(ValueError):
+        decode_png(_PNG_SIG + chunk(b"IHDR", pal_ihdr)
+                   + chunk(b"PLTE", bytes([255, 0, 0]))  # 1-entry palette
+                   + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+    # implausible dimensions rejected BEFORE allocation
+    huge = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", huge) + chunk(b"IEND", b""))
+    # sanity: a good image still round-trips
+    good = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert (decode_png(encode_png(good)) == good).all()
+
+
+def test_label_cosine_single_member_label_omitted(spark, tmp_path):
+    """Labels with exactly one embedding have no pairs: the gate's all-pairs
+    oracle emits no row for them, so neither may the identity-based Spark
+    side (round-3 advice: n(n-1) division by zero -> NULL row)."""
+    import __spark_entry__ as entry_mod
+
+    df = spark.createDataFrame(
+        [(0, "solo", [1.0, 0.0]), (1, "pair", [1.0, 0.0]), (2, "pair", [0.0, 1.0])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {r["label"]: r for r in
+            entry_mod.label_cosine_stats(spark, str(tmp_path)).collect()}
+    assert "solo" not in rows
+    assert rows["pair"]["n_pairs"] == 1 and abs(rows["pair"]["avg_cos"]) < 1e-6
+
+
+def test_release_tracked_unpersists(spark):
+    """cache.track/release_tracked: correctness persists are released and
+    the tracked list resets (round-3 advice: session-lifetime cache leak)."""
+    from datavec_spark import cache
+    from datavec_spark.operators.sequence import rank_scalable
+
+    df = spark.range(100).withColumn("v", F.col("id") % 7)
+    before = len(cache._TRACKED)
+    out = rank_scalable(df, "v")
+    assert out.count() == 100
+    assert len(cache._TRACKED) > before
+    released = cache.release_tracked()
+    assert released >= 1 and cache._TRACKED == []

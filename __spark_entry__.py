@@ -1513,8 +1513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer_counts": join_left_outer_counts,
         "rank_orders": rank_orders,
         "exact_dup_docs": exact_dup_docs,
-        # ---- driver window ends here (entry 50) ----
         "q5_region_revenue": q5_region_revenue,
+        # ---- driver window ends here (entry 50 = q5_region_revenue) ----
         "q10_returned_items": q10_returned_items,
         "reduce_multiop_orders": reduce_multiop_orders,
         "conditional_reduce_orders": conditional_reduce_orders,

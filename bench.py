@@ -195,7 +195,8 @@ def run_cdc_replay(spark, fixture_dir: str, num_buckets: int = 64, epochs: int =
 
 
 def run_cdc_stream_replay(spark, fixture_dir: str, num_buckets: int = 64,
-                          n_triggers: int = 8) -> dict:
+                          n_triggers: int = 8,
+                          state_store: str | None = None) -> dict:
     """The same replay through the Structured Streaming path (run_stream:
     watermarked dedup state + checkpointed foreachBatch epoch-fenced merges),
     chunked into ~n_triggers triggers via maxFilesPerTrigger. Measures the
@@ -219,7 +220,8 @@ def run_cdc_stream_replay(spark, fixture_dir: str, num_buckets: int = 64,
     n_events = spark.read.parquet(events_dir).count()
     t0 = time.time()
     q = eng.run_stream(spark, events_dir, os.path.join(work, "ckpt"),
-                       max_files_per_trigger=mfpt, available_now=True)
+                       max_files_per_trigger=mfpt, available_now=True,
+                       state_store=state_store)
     q.awaitTermination()
     wall = time.time() - t0
     drops = CdcEngine.stream_drop_metrics(q)
@@ -347,7 +349,8 @@ def scaling_worker(cores: int, n_ev: int):
         # is stream-shaped, so scaling evidence must cover this path too
         st = run_cdc_stream_replay(
             spark, fx, num_buckets=64,
-            n_triggers=int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "4")))
+            n_triggers=int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "4")),
+            state_store=os.environ.get("SPARK_GRAFT_STREAM_STATE_STORE") or None)
         r["stream_rate"] = st["events_per_sec"]
         r["stream_wall"] = st["wall_sec"]
         r["stream_triggers"] = st["triggers"]
@@ -491,10 +494,15 @@ def run_scaling():
             "final_rows": stream_best[hi]["stream_final_rows"],
             f"trial_walls_local{lo}": [t["stream_wall"] for t in trials[lo]],
             f"trial_walls_local{hi}": [t["stream_wall"] for t in trials[hi]],
+            "state_store": os.environ.get("SPARK_GRAFT_STREAM_STATE_STORE") or "memory",
         }
     print(json.dumps(out))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as fh:
+    # SPARK_GRAFT_SCALING_OUT lets a side experiment (e.g. the large-trigger
+    # streaming amortization run) write next to — not over — the per-round
+    # north-rule artifact
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling_latest.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         json.dump(out, fh, indent=2)
 
 

@@ -835,6 +835,20 @@ def ngram_jaccard_docs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def decontamination_docs(spark, sf_dir):
+    """Benchmark decontamination (train/test overlap removal): docs with
+    doc_id % 50 == 0 play the held-out benchmark; every OTHER document
+    sharing a word 8-gram with any of them is contaminated and reported
+    with its distinct-hit-gram count. The benchmark n-gram set is broadcast
+    — the corpus is never shuffled (the 100 TB shape: eval sets are MBs)."""
+    from datavec_spark.functions.dedup import contamination_hits
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return contamination_hits(train, bench, n=8).select("doc_id", "n_hit_grams")
+
+
 # The raw LSH signature values are Spark-internal xxhash64 (not reproducible
 # in DuckDB), so these two gates materialize the Spark-computed signatures to
 # a shared parquet and build pairs FROM that parquet; the oracle re-derives
@@ -1479,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lineage_rows": cdc_lineage_rows,
         # (c) new in round 4
         "ann_ivf_recall": ann_ivf_recall,
+        "decontamination_docs": decontamination_docs,
         # (d) one prior driver row (new in r3)
         "q22_no_orders": q22_no_orders,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1513,8 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer_counts": join_left_outer_counts,
         "rank_orders": rank_orders,
         "exact_dup_docs": exact_dup_docs,
+        # ---- driver window ends here (entry 50 = exact_dup_docs) ----
         "q5_region_revenue": q5_region_revenue,
-        # ---- driver window ends here (entry 50 = q5_region_revenue) ----
         "q10_returned_items": q10_returned_items,
         "reduce_multiop_orders": reduce_multiop_orders,
         "conditional_reduce_orders": conditional_reduce_orders,
@@ -2030,6 +2045,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": """
             SELECT 8 AS n_queries, 10 AS k, true AS recall_nprobe2_ok,
                    true AS recall_nprobe8_ok, true AS recall_monotone
+        """,
+        "decontamination_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                FROM documents WHERE length(trim(text)) > 0),
+            sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+                FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+            SELECT s.doc_id, count(*) AS n_hit_grams
+            FROM sh s JOIN bench USING (g)
+            WHERE s.doc_id % 50 <> 0
+            GROUP BY s.doc_id
         """,
         "embedding_near_dup": _embedding_near_dup_oracle_sql(),
         "lang_id_counts": _LANG_ID_ORACLE,

@@ -437,3 +437,48 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def contamination_hits(
+    df: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection (the train/test overlap rule of the
+    public GPT-3 appendix C / Gopher §A.3 methodology, word-n-gram form):
+    a training document is contaminated iff it shares at least one word
+    n-gram with the held-out benchmark corpus. Returns (id_col,
+    n_hit_grams) — the count of DISTINCT benchmark n-grams each document
+    contains; decontaminate() anti-joins this.
+
+    Scale shape: the benchmark side is tiny next to the corpus (MBs of eval
+    sets vs TBs of training text), so its distinct n-gram set is BROADCAST
+    — the corpus side is a narrow explode → broadcast-semi-join → keyed
+    count; the corpus is never shuffled on text, only the (id, hit) rows
+    reach the aggregation. At 10^9 docs swap the join key for
+    xxhash64(shingle) to shrink the broadcast; the string key is kept here
+    so a SQL oracle can re-derive hits exactly (no hash-collision
+    ambiguity).
+
+    Reference parity: DataVec has no decontamination op — this extends the
+    dedup family (SURVEY §2 training-pipeline additions)."""
+    bench_grams = (
+        word_shingles(benchmark, text_col, id_col, n)
+        .select("shingle").distinct()
+    )
+    doc_grams = word_shingles(df, text_col, id_col, n)
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def decontaminate(
+    df: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 8,
+) -> DataFrame:
+    """Drop every document sharing a word n-gram with the benchmark corpus
+    (see contamination_hits). One broadcast semi-join + one anti-join —
+    the corpus streams through untouched except for dropped rows."""
+    hits = contamination_hits(df, benchmark, text_col, id_col, n)
+    return df.join(hits.select(id_col), id_col, "left_anti")

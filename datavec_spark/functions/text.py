@@ -192,3 +192,25 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+PII_PATTERNS = {
+    # pattern set kept to constructs with identical semantics in Java regex
+    # (Spark) and RE2 (DuckDB/others), so pipelines can re-derive the scrub
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: dict[str, str] | None = None) -> DataFrame:
+    """C4-style PII redaction for training corpora: replace every match of
+    each pattern with a typed placeholder (`<EMAIL>`, `<IPV4>`, ...). Pure
+    regexp_replace chain — narrow, codegen'd, zero shuffle; the standard
+    pre-training scrub pass runs at scan speed. Patterns are deliberately
+    engine-portable (no lookbehind) so the same scrub is re-derivable
+    outside Spark."""
+    out = F.col(text_col)
+    for name, pat in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.withColumn(text_col, out)

@@ -396,3 +396,38 @@ def test_release_tracked_unpersists(spark):
     assert len(cache._TRACKED) > before
     released = cache.release_tracked()
     assert released >= 1 and cache._TRACKED == []
+
+
+def test_decontamination(spark, docs):
+    """contamination_hits finds docs sharing word n-grams with a benchmark
+    set; decontaminate drops exactly those."""
+    from datavec_spark.functions.dedup import contamination_hits, decontaminate
+
+    bench = docs.where(F.col("doc_id") == 0)
+    train = docs.where(F.col("doc_id") != 0)
+    hits = {r["doc_id"]: r["n_hit_grams"]
+            for r in contamination_hits(train, bench, n=5).collect()}
+    # doc 1 is an exact dup of benchmark doc 0: 14 tokens -> all 10 5-gram
+    # positions hit. doc 3 differs only in the last token -> the 9 windows
+    # not covering it hit. doc 2 differs in tokens 6 ('mat,') and 14
+    # ('door!') -> only windows avoiding both (positions 1,7,8,9) hit.
+    # doc 4 shares nothing.
+    assert hits[1] == 10
+    assert hits[3] == 9
+    assert hits[2] == 4
+    assert 4 not in hits
+    kept = [r["doc_id"] for r in decontaminate(train, bench, n=5).collect()]
+    assert kept == [4]
+
+
+def test_pii_scrub(spark):
+    from datavec_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "contact bob.smith+x@example.co.uk or 10.0.255.7 today"),
+         (2, "no pii here, just 1.5 numbers and an @ sign")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in pii_scrub(df).collect()}
+    assert out[1] == "contact <EMAIL> or <IPV4> today"
+    assert out[2] == "no pii here, just 1.5 numbers and an @ sign"

@@ -244,8 +244,17 @@ def test_streaming_schema_evolution_across_restart(spark, tmp_path, fixture):
     files = write_event_chunks(events, staging, n_chunks=6)
     events_dir = str(tmp_path / "events")
     os.makedirs(events_dir)
-    for f in files[:3]:
-        shutil.copy(f, events_dir)
+
+    def arrive(fs, t0):
+        # shutil.copy stamps NOW as mtime — near-identical for files copied
+        # in a tight loop, and the file source orders triggers by mtime, so
+        # chunk order (add before rename before widen) could flip; restamp
+        # with strictly increasing mtimes in chunk order
+        for i, f in enumerate(fs):
+            dst = shutil.copy(f, events_dir)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    arrive(files[:3], 1_600_000_000)
 
     eng = CdcEngine(str(tmp_path / "repos"), num_buckets=8)
     eng.bootstrap(spark, base_df(spark, base))
@@ -260,8 +269,7 @@ def test_streaming_schema_evolution_across_restart(spark, tmp_path, fixture):
     assert "stars" not in mid and "lang" in mid
 
     # the rest of the binlog arrives; resume from the same checkpoint
-    for f in files[3:]:
-        shutil.copy(f, events_dir)
+    arrive(files[3:], 1_600_000_100)
     q2 = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=1)
     q2.awaitTermination()
     assert_final_state(spark, eng, state, schema)

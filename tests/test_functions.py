@@ -431,3 +431,42 @@ def test_pii_scrub(spark):
     out = {r["doc_id"]: r["text"] for r in pii_scrub(df).collect()}
     assert out[1] == "contact <EMAIL> or <IPV4> today"
     assert out[2] == "no pii here, just 1.5 numbers and an @ sign"
+
+
+def test_label_cosine_identity_matches_allpairs(spark, tmp_path):
+    """The (||Σu||² − n)/(n(n−1)) identity equals the exact all-pairs mean
+    cosine to float tolerance — the ground-truth check behind the
+    label_cosine_stats gate (whose driver oracle re-derives the identity;
+    rounding the two different float paths to a fixed decimal is a
+    knife-edge at scale, so the all-pairs comparison lives here with a
+    proper tolerance)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for label in ("a", "b", "c"):
+        for _ in range(40):
+            rows.append((vid, label, [float(x) for x in rng.randn(16)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {r["label"]: r for r in
+           entry_mod.label_cosine_stats(spark, str(tmp_path)).collect()}
+
+    by_label = {}
+    for _, label, v in rows:
+        by_label.setdefault(label, []).append(np.asarray(v, dtype=np.float64))
+    for label, vecs in by_label.items():
+        units = [v / np.linalg.norm(v) for v in vecs]
+        n = len(units)
+        total = sum(float(units[i] @ units[j])
+                    for i in range(n) for j in range(i + 1, n))
+        want = total / (n * (n - 1) / 2)
+        assert got[label]["n_pairs"] == n * (n - 1) // 2
+        # gate value is rounded to 4 decimals; compare against the exact
+        # mean with the rounding granularity as tolerance
+        assert abs(got[label]["avg_cos"] - want) < 5.1e-5

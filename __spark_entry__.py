@@ -835,6 +835,15 @@ def ngram_jaccard_docs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def doc_unigram_logprob(spark, sf_dir):
+    """Perplexity-style quality signal: per-doc mean unigram log10-prob
+    under the corpus's own empirical distribution (typical docs score
+    high). Vocabulary side broadcast; one (doc, token) shuffle."""
+    from datavec_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def decontamination_docs(spark, sf_dir):
     """Benchmark decontamination (train/test overlap removal): docs with
     doc_id % 50 == 0 play the held-out benchmark; every OTHER document
@@ -1507,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) new in round 4
         "ann_ivf_recall": ann_ivf_recall,
         "decontamination_docs": decontamination_docs,
+        "doc_unigram_logprob": doc_unigram_logprob,
         # (d) one prior driver row (new in r3)
         "q22_no_orders": q22_no_orders,
         "q7_volume_shipping": q7_volume_shipping,
@@ -1540,8 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_forecast": q6_revenue_forecast,
         "join_left_outer_counts": join_left_outer_counts,
         "rank_orders": rank_orders,
+        # ---- driver window ends here (entry 50 = rank_orders) ----
         "exact_dup_docs": exact_dup_docs,
-        # ---- driver window ends here (entry 50 = exact_dup_docs) ----
         "q5_region_revenue": q5_region_revenue,
         "q10_returned_items": q10_returned_items,
         "reduce_multiop_orders": reduce_multiop_orders,
@@ -2068,6 +2078,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": """
             SELECT 8 AS n_queries, 10 AS k, true AS recall_nprobe2_ok,
                    true AS recall_nprobe8_ok, true AS recall_monotone
+        """,
+        "doc_unigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0),
+            tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            tc AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+            tot AS (SELECT count(*) AS t FROM tok2)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(log10(c / (SELECT t FROM tot)::DOUBLE)), 4) AS mean_logprob
+            FROM tok2 JOIN tc USING (tok)
+            GROUP BY doc_id
         """,
         "decontamination_docs": r"""
             WITH toks AS (

@@ -8,7 +8,7 @@ document fingerprinting. Designed for the `documents` table
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword seeds for the n-gram/stopword language-ID
@@ -214,3 +214,54 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     for name, pat in (patterns or PII_PATTERNS).items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return df.withColumn(text_col, out)
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's own
+    empirical distribution — the cheap perplexity-style quality signal
+    (fluent/typical docs score high; OCR noise, boilerplate and
+    wrong-language docs score low and become filter candidates).
+
+    Shape: explode → two keyed aggregations + one join on token. The
+    unigram table is vocabulary-sized (≪ corpus — Heaps' law), so at scale
+    hint it broadcast or leave the shuffle on the (doc, token) side only.
+    All expressions JVM-side; exactly re-derivable in SQL."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(tok_counts), "tok") \
+                 .withColumn("lp", F.log10(F.col("tc") / F.lit(float(total))))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.round(F.avg("lp"), 4).alias("mean_logprob"))
+    )
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Line/paragraph-level corpus dedup (the RefinedWeb-style pass that
+    strips boilerplate headers/footers repeated across pages): every
+    duplicate occurrence of a non-blank line ACROSS the corpus is dropped
+    except its first (lowest (doc_id, position)), then documents are
+    reassembled in original line order. Docs whose every line was dropped
+    disappear.
+
+    Shape: posexplode → one window over line-hash (the same one shuffle a
+    groupBy-first would need) → re-agg by doc. Deterministic keeper choice;
+    exactly SQL-mirrorable."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
+    keep = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return (
+        keep.groupBy(id_col)
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"]),
+            sep).alias(text_col))
+    )

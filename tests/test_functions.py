@@ -470,3 +470,37 @@ def test_label_cosine_identity_matches_allpairs(spark, tmp_path):
         # gate value is rounded to 4 decimals; compare against the exact
         # mean with the rounding granularity as tolerance
         assert abs(got[label]["avg_cos"] - want) < 5.1e-5
+
+
+def test_unigram_logprob(spark):
+    import math
+
+    from datavec_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    lp = lambda c: math.log10(c / 5)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["mean_logprob"] - round((2 * lp(3) + lp(1)) / 3, 4)) < 1e-9
+    assert abs(out[2]["mean_logprob"] - round((lp(3) + lp(1)) / 2, 4)) < 1e-9
+    # the common-token doc is "more typical" -> higher mean logprob
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+
+
+def test_dedup_lines(spark):
+    from datavec_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "header\nunique one\nfooter"),
+         (2, "header\nunique two\nfooter"),
+         (3, "header\nfooter")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    # doc 1 is first: keeps everything; docs 2-3 lose the shared
+    # header/footer; doc 3 (nothing left) disappears
+    assert out[1] == "header\nunique one\nfooter"
+    assert out[2] == "unique two"
+    assert 3 not in out

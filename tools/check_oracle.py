@@ -14,6 +14,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from datavec_spark.cache import release_tracked  # noqa: E402
 from datavec_spark.session import get_spark  # noqa: E402
 
 
@@ -55,6 +56,9 @@ def main():
             df = fn(spark, sf_dir)
             spark_cols = df.columns
             spark_rows = [tuple(r) for r in df.collect()]
+            # free correctness-required persists (LSH signatures, cumsum
+            # partitions) so 70+ gates don't accumulate cached blocks
+            release_tracked()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")

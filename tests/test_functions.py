@@ -504,3 +504,16 @@ def test_dedup_lines(spark):
     assert out[1] == "header\nunique one\nfooter"
     assert out[2] == "unique two"
     assert 3 not in out
+
+
+def test_gate_registry_consistency():
+    """Every registered gate has an oracle and vice versa (the driver's
+    correctness contract), and the registered count matches the rotation
+    schedule documented in COVERAGE.md — future rounds that add/remove
+    gates must update the rotation docs, and this assertion makes
+    forgetting loud."""
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) == set(qs)
+    assert len(qs) == 71  # round-4 count; update with COVERAGE.md rotation

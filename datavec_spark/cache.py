@@ -12,10 +12,17 @@ for the session lifetime (round-3 advice item).
 The contract here: creators register such DataFrames with track(); any
 point that KNOWS the downstream results are materialized (bench.py after
 timing a query, a long-lived driver between pipeline stages, tests'
-teardown) calls release_tracked() to unpersist them all. Releasing after
-materialization is safe even if the caller re-collects the result later —
-the plan recomputes, it is only the range-partition *reuse across jobs
-within one logical result* that required the cache.
+teardown) calls release_tracked() to unpersist them all.
+
+CAUTION — release is safe only if the consumer never RE-materializes a
+result it already collected (round-4 advice item #2): rank_scalable /
+cumsum_scalable bake partition offsets collected from the persisted
+repartitionByRange plan into the returned DataFrame as literals. After
+release_tracked(), a re-collection re-samples range boundaries, partition
+ids shift, and the stale literal offsets would produce silently wrong
+global ranks/cumsums — the exact defect the persist prevents. Collect
+once, release, and treat the returned DataFrame as consumed; if you need
+the result again, re-run the op (or write the first result out).
 """
 
 from __future__ import annotations

@@ -72,11 +72,16 @@ def ngram_jaccard_pairs(
     sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
     sh = track(sh.persist())
     # stop-shingle cap: drop shingles present in >1% of docs (min 100).
-    # n_docs comes from the persisted shingle relation (the count doubles as
-    # the cache-materialization job) — not a separate df.count() scan of the
-    # source, which cost one extra job per call (round-3 advice item).
+    # n_docs = EXACT count of shingle-bearing docs, computed from the
+    # persisted shingle relation (the count doubles as the
+    # cache-materialization job — not a separate df.count() scan of the
+    # source; round-3 advice item). Exact, not approx_count_distinct: the
+    # cap value is re-derived exactly by oracles/pipelines outside Spark,
+    # and an HLL estimate would silently shift which boundary shingles
+    # survive once the corpus grows past the min-100 floor (round-4 advice
+    # item #1). The population is "docs with ≥1 shingle" on BOTH sides.
     if n_docs is None:
-        n_docs = sh.agg(F.approx_count_distinct(id_col).alias("n")).first()["n"]
+        n_docs = sh.agg(F.countDistinct(id_col).alias("n")).first()["n"]
     cap = max(int(n_docs * 0.01), 100)
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= cap)
     sh_f = track(sh.join(rare.select("shingle"), "shingle").persist())

@@ -93,7 +93,10 @@ def decode_png(data: bytes) -> np.ndarray:
     to the deterministic fake, same contract as an undecodable blob."""
     try:
         return _decode_png_inner(data)
-    except ValueError:
+    except (ValueError, MemoryError):
+        # MemoryError is real resource exhaustion, not a corrupt input —
+        # it must surface to the caller, never be masked as "bad PNG"
+        # and silently replaced by the deterministic fake image.
         raise
     except Exception as exc:  # zlib.error, struct.error, IndexError, ...
         raise ValueError(f"corrupt PNG body: {type(exc).__name__}: {exc}") from exc
@@ -132,8 +135,16 @@ def _decode_png_inner(data: bytes) -> np.ndarray:
         raise ValueError(f"implausible PNG dimensions {width}x{height}")
     chans = _CHANNELS[colortype]
     stride = width * chans
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
+    # Bounded inflate: the declared dims fix the exact decompressed size,
+    # so never allocate more — a crafted small-dims/multi-GB-IDAT bomb
+    # otherwise inflates fully before any length check (round-4 advice
+    # item #4). Leftover compressed input past the bound = bomb/corrupt.
+    expected = height * (stride + 1)
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if dobj.unconsumed_tail:
+        raise ValueError("PNG IDAT inflates past declared dimensions")
+    if len(raw) != expected:
         raise ValueError("PNG data length mismatch")
     arr = _unfilter(raw, height, stride, chans).reshape(height, width, chans)
     if colortype == 3:

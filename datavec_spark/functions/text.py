@@ -217,22 +217,30 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    broadcast_vocab: bool = True) -> DataFrame:
     """Per-document mean unigram log10-probability under the corpus's own
     empirical distribution — the cheap perplexity-style quality signal
     (fluent/typical docs score high; OCR noise, boilerplate and
     wrong-language docs score low and become filter candidates).
 
-    Shape: explode → two keyed aggregations + one join on token. The
-    unigram table is vocabulary-sized (≪ corpus — Heaps' law), so at scale
-    hint it broadcast or leave the shuffle on the (doc, token) side only.
+    Shape: explode → two keyed aggregations + one join on token, all in ONE
+    job — the corpus token total is derived from the unigram relation
+    itself (a 1-row agg broadcast-cross-joined onto it), not a separate
+    `.count()` action, so the exploded relation is scanned once and Spark
+    reuses the groupBy exchange for both consumers. `broadcast_vocab=True`
+    (default) ships the vocabulary to every executor — right for corpora
+    whose vocab fits the broadcast limit; at 100 TB Heaps' law can push the
+    vocab past that, so pass False to take a shuffled sort-merge join on
+    `tok` instead (the (doc, token) side already carries that shuffle).
     All expressions JVM-side; exactly re-derivable in SQL."""
     toks = df.select(F.col(id_col),
                      F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     tok_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
-    total = toks.count()
-    scored = toks.join(F.broadcast(tok_counts), "tok") \
-                 .withColumn("lp", F.log10(F.col("tc") / F.lit(float(total))))
+    total = tok_counts.agg(F.sum("tc").alias("_total"))
+    vocab = tok_counts.crossJoin(F.broadcast(total))
+    scored = toks.join(F.broadcast(vocab) if broadcast_vocab else vocab, "tok") \
+                 .withColumn("lp", F.log10(F.col("tc") / F.col("_total")))
     return (
         scored.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -249,19 +257,32 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     reassembled in original line order. Docs whose every line was dropped
     disappear.
 
-    Shape: posexplode → one window over line-hash (the same one shuffle a
-    groupBy-first would need) → re-agg by doc. Deterministic keeper choice;
-    exactly SQL-mirrorable."""
+    Shape: posexplode → one window keyed on xxhash64(line) — the line TEXT
+    is never shuffled, only (doc_id, pos, 8-byte hash) rows (round-4 review
+    item: at corpus scale raw line text in the shuffle key dominates the
+    exchange). Keeper positions are then grouped per doc (second small
+    shuffle on doc_id) and the text is rebuilt from the ORIGINAL document
+    by index — the payload rejoins only at doc granularity. Two distinct
+    lines sharing an xxhash64 value are treated as duplicates (the same
+    64-bit-collision contract as the MinHash/SimHash family; at 2^32 lines
+    the expected collision count is <1). Deterministic keeper choice;
+    exactly SQL-mirrorable (an oracle without xxhash64 keys on the line
+    text itself — identical output absent a 64-bit collision)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).where(F.trim(F.col("line")) != "")
-    w = Window.partitionBy("line").orderBy(F.col(id_col), F.col("pos"))
-    keep = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    ).where(F.trim(F.col("line")) != "") \
+     .select(id_col, "pos", F.xxhash64("line").alias("_lh"))
+    w = Window.partitionBy("_lh").orderBy(F.col(id_col), F.col("pos"))
+    keep_pos = (
+        lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        .groupBy(id_col).agg(F.collect_list("pos").alias("_kept"))
+    )
+    parts = F.split(F.col(text_col), sep)
+    rebuilt = F.array_join(
+        F.filter(parts, lambda x, i: F.array_contains(F.col("_kept"), i)),
+        sep)
     return (
-        keep.groupBy(id_col)
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                        lambda s: s["line"]),
-            sep).alias(text_col))
+        df.join(keep_pos, id_col)
+        .select(F.col(id_col), rebuilt.alias(text_col))
     )

@@ -372,7 +372,10 @@ class IceliteTable:
         os.makedirs(os.path.dirname(os.path.join(self.location, rel)), exist_ok=True)
         pq.write_table(pa.Table.from_arrays(arrays, names=names), os.path.join(self.location, rel))
         entry = {"path": rel, "bucket": 0, "schema_id": meta["current_schema_id"]}
-        cur = self.current_snapshot()
+        cur = None
+        if meta["current_snapshot_id"] is not None:
+            cur = next(s for s in meta["snapshots"]
+                       if s["snapshot_id"] == meta["current_snapshot_id"])
         files = (cur["files"] if cur else []) + [entry]
         return self._commit_snapshot(
             meta, version, files, {"operation": "append", **(summary or {})},
@@ -410,6 +413,7 @@ class IceliteTable:
         epoch: int | None = None,
         extra_summary: dict[str, Any] | None = None,
         extra_properties: dict[str, str] | None = None,
+        touched_buckets: list[int] | None = None,
     ) -> dict:
         """Apply per-key winners (one row per key: op ∈ {upsert, delete},
         payload in current schema + seq_col) with last-writer-wins by
@@ -421,19 +425,32 @@ class IceliteTable:
         retried foreachBatch case), and the property advances atomically
         with the snapshot commit.
 
+        touched_buckets: callers that already know which buckets the change
+        keys hash to (the CDC apply stage computes them in its fused stats
+        pass) pass them here — the merge then runs as ONE Spark job (the
+        write), with no pruning collect and no persist of the change set.
+        Must be a superset of `_bucket_expr` over the change keys; a bucket
+        with no actual changes is rewritten identically (correct, wasteful).
+        Without it, the merge derives the set itself (persist + distinct —
+        a second job).
+
         Returns {"applied": bool, "snapshot_id": int|None}.
         """
-        if epoch is not None and epoch <= self.last_epoch():
-            return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
-
         meta, version = self._load()
+        if epoch is not None and epoch <= int(meta["properties"].get("cdc.last-epoch", "-1")):
+            return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
         keys = self.key_cols(meta)
         assert keys, "merge_cdc requires key columns"
 
-        # persist: the change set is consumed twice (bucket pruning +
-        # merge write) and is typically the output of an aggregation
-        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta)).persist()
-        touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
+        changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        persisted = touched_buckets is None
+        if persisted:
+            # persist: the change set is consumed twice (bucket pruning +
+            # merge write) and is typically the output of an aggregation
+            changes = changes.persist()
+            touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
+        else:
+            touched = sorted(set(touched_buckets))
         target = self.read(spark, buckets=touched)
 
         data_cols = [f["name"] for f in self._fields(meta)]
@@ -473,8 +490,14 @@ class IceliteTable:
         try:
             new_files = self._write_data_files(merged, meta)
         finally:
-            changes.unpersist()
-        cur = self.current_snapshot()
+            if persisted:
+                changes.unpersist()
+        # current snapshot from the metadata ALREADY loaded for the commit
+        # CAS — not a fresh read (per-epoch serial-path trim)
+        cur = None
+        if meta["current_snapshot_id"] is not None:
+            cur = next(s for s in meta["snapshots"]
+                       if s["snapshot_id"] == meta["current_snapshot_id"])
         untouched = [f for f in (cur["files"] if cur else []) if f["bucket"] not in set(touched)]
         props = dict(extra_properties or {})
         if epoch is not None:

@@ -154,28 +154,104 @@ class CdcEngine:
         late_delay_seconds: int = 600,
         transform_chain=None,
     ) -> dict:
-        """Apply one epoch of the change stream. Idempotent per epoch."""
-        table = self.table()
+        """Apply one epoch of the change stream. Idempotent per epoch.
+
+        Serial-path shape (round-4 verdict item #1 — this is the per-trigger
+        driver cost a 10^10-event stream pays once per micro-batch, so it is
+        engineered down to TWO Spark jobs and ONE metadata load):
+          job 1  fused stats pass — per-bucket lineage metrics for data
+                 events AND the (tiny, ~1%) schema-op set gathered via
+                 collect_list into a sentinel partition, in one aggregation;
+          job 2  the merge write itself (merge_cdc receives the touched
+                 bucket set from job 1, so its own pruning job disappears).
+        All table properties (epoch fence, schema fence, field map,
+        watermark) come from one metadata read; it is re-read only if this
+        batch actually applied schema ops (which commit new metadata).
+
+        Lineage accounts ARRIVING change events (pre-transform-chain): it is
+        ingest/resume bookkeeping, not post-filter output accounting — and a
+        transform chain must never rewrite key columns (it would re-bucket
+        rows out from under the merge), which keeps the fused pre-binding
+        bucket hash exact."""
+        table = IceliteTable(self.table_location)
+        meta0 = table.metadata()  # the ONE per-epoch metadata load
+        props0 = meta0["properties"]
         # fast path: a fenced epoch (foreachBatch redelivery after restart)
         # has fully committed — skip all computation, not just the commit.
         # If the crash hit between the merge commit and the lineage write,
         # lineage lags the fence: fall through so it gets recomputed (the
         # merge itself stays a no-op via its own fence).
-        if epoch is not None and epoch <= table.last_epoch():
+        if epoch is not None and epoch <= int(props0.get("cdc.last-epoch", "-1")):
             lin_epoch = int(self.lineage_table().properties().get("lineage.last-epoch", "-1"))
             if lin_epoch >= epoch:
                 return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
         batch_df = batch_df.persist()
         try:
-            # 1. schema-evolution ops: tiny (~1%), driver-serialized in seq
-            #    order, fenced by cdc.schema-seq so retries are no-ops
-            schema_ops = (
-                batch_df.where(F.col("op").isin(*SCHEMA_OPS))
-                .select("seq", "op", "schema_change")
+            fmap = json.loads(props0["cdc.field-map"])
+            by_id0 = {f["id"]: f for f in table._fields(meta0)}
+            # bucket count comes from the STORED table's partition spec, not
+            # the engine-constructor default — a reload with a different
+            # num_buckets must not mislabel lineage partitions vs data buckets
+            table_buckets = meta0["partition_spec"]["num_buckets"]
+            # the bucket hash over the RAW event key fields (resolved through
+            # the immutable field map) — value- and type-identical to
+            # icelite._bucket_expr over the bound/current-schema columns, so
+            # the stats pass below can run BEFORE binding/schema ops and its
+            # bucket ids double as merge_cdc's pruning set. (Key columns are
+            # strings per the CDC contract; schema widens are numeric-only,
+            # renames don't change values — a schema op in this very batch
+            # cannot change the hash.)
+            orig_by_id = {fid: orig for orig, fid in fmap.items()}
+            key_ids = meta0["partition_spec"]["key_field_ids"]
+            key_hash_cols = [
+                F.col(orig_by_id[i]).cast(type_to_spark(by_id0[i]["type"]))
+                for i in key_ids
+            ]
+
+            # 1. FUSED stats job: late-event cut relative to the stream
+            #    watermark carried in cdc.max-ts-us (max event time of all
+            #    prior batches, advanced atomically with each merge commit)
+            #    minus the allowed delay — an event is late relative to
+            #    stream progress *before* its batch, the watermark semantics.
+            prev_max_us = props0.get("cdc.max-ts-us")
+            if prev_max_us is not None:
+                late_cut = F.timestamp_micros(
+                    F.lit(int(prev_max_us) - late_delay_seconds * 1_000_000)
+                )
+                late_expr = F.sum((F.col("ts") < late_cut).cast("long"))
+            else:
+                late_expr = F.lit(0).cast("long")
+            is_schema = F.col("op").isin(*SCHEMA_OPS)
+            stats_rows = (
+                batch_df.groupBy(
+                    F.when(is_schema, F.lit(-1))
+                    .otherwise(
+                        F.pmod(F.xxhash64(*key_hash_cols), F.lit(table_buckets)).cast("int")
+                    )
+                    .alias("partition")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("event_count"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
+                    late_expr.alias("late_count"),
+                    F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_max_ts_us"),
+                    F.collect_list(
+                        F.when(is_schema, F.struct("seq", "op", "schema_change"))
+                    ).alias("_schema_ops"),
+                )
                 .collect()
             )
+
+            # 2. schema-evolution ops: driver-serialized in seq order, fenced
+            #    by cdc.schema-seq so retries are no-ops
+            schema_ops = [
+                op for r in stats_rows if r["partition"] == -1 for op in r["_schema_ops"]
+            ]
+            schema_fence = int(props0.get("cdc.schema-seq", "-1"))
+            applied_schema = False
             for r in sorted(schema_ops, key=lambda r: r["seq"]):
-                if r["seq"] <= int(table.properties().get("cdc.schema-seq", "-1")):
+                if r["seq"] <= schema_fence:
                     continue
                 sc = r["schema_change"]
                 fence = {"cdc.schema-seq": str(r["seq"])}
@@ -185,15 +261,23 @@ class CdcEngine:
                     table.rename_column(sc["col_name"], sc["new_name"], properties_update=fence)
                 else:
                     table.widen_column(sc["col_name"], sc["new_type"], properties_update=fence)
+                schema_fence = r["seq"]
+                applied_schema = True
 
-            # 2. bind event payload columns to current table columns by field id
-            meta = table.metadata()
-            fmap = json.loads(table.properties()["cdc.field-map"])
+            lineage_rows = [r for r in stats_rows if r["partition"] >= 0]
+            if not lineage_rows:  # empty trigger (no data events this epoch)
+                return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
+            batch_max_us = max(r["_max_ts_us"] for r in lineage_rows)
+            new_max_us = max(batch_max_us, int(prev_max_us)) if prev_max_us else batch_max_us
+
+            # 3. bind event payload columns to current table columns by field
+            #    id (re-read metadata only if a schema op just committed)
+            meta = table.metadata() if applied_schema else meta0
             by_id = {f["id"]: f for f in table._fields(meta)}
             cur_name = {orig: by_id[fid]["name"] for orig, fid in fmap.items()}
             key_cols = table.key_cols(meta)
 
-            data = batch_df.where(~F.col("op").isin(*SCHEMA_OPS))
+            data = batch_df.where(~is_schema)
             if transform_chain is not None:
                 # DataVec TransformProcess parity: vectorized transform chain
                 # applied inside the merge-apply stage (SURVEY.md §0 graft)
@@ -205,7 +289,7 @@ class CdcEngine:
             ]
             bound = data.select(*payload, F.col("seq"), F.col("op"), F.col("ts"))
 
-            # 3. in-batch LWW collapse: one winner per key by max seq.
+            # 4. in-batch LWW collapse: one winner per key by max seq.
             #    groupBy().agg(max_by) does map-side partial aggregation —
             #    hot (repo) keys collapse before the shuffle, so skew cannot
             #    concentrate rows the way the reference's groupByKey did
@@ -225,46 +309,9 @@ class CdcEngine:
                 .drop("op")
             )
 
-            # 4. lineage metrics per bucket (partition) in ONE pass: the
-            #    late-event cut is the stream watermark carried in the table
-            #    property cdc.max-ts (max event time of all prior batches,
-            #    advanced atomically with each merge commit) minus the
-            #    allowed delay — an event is late relative to stream
-            #    progress *before* its batch, which is the watermark
-            #    semantics, and saves a separate max(ts) job per epoch.
-            prev_max_us = table.properties().get("cdc.max-ts-us")
-            if prev_max_us is not None:
-                late_cut = F.timestamp_micros(
-                    F.lit(int(prev_max_us) - late_delay_seconds * 1_000_000)
-                )
-                late_expr = F.sum((F.col("ts") < late_cut).cast("long"))
-            else:
-                late_expr = F.lit(0).cast("long")
-            # bucket count comes from the STORED table's partition spec, not
-            # the engine-constructor default — a reload with a different
-            # num_buckets must not mislabel lineage partitions vs data buckets
-            table_buckets = meta["partition_spec"]["num_buckets"]
-            lineage_rows = (
-                bound.groupBy(
-                    F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(table_buckets))
-                    .cast("int")
-                    .alias("partition")
-                )
-                .agg(
-                    F.count(F.lit(1)).alias("event_count"),
-                    F.min("seq").alias("min_seq"),
-                    F.max("seq").alias("max_seq"),
-                    late_expr.alias("late_count"),
-                    F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_max_ts_us"),
-                )
-                .collect()
-            )
-            if not lineage_rows:  # empty trigger (no data events this epoch)
-                return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
-            batch_max_us = max(r["_max_ts_us"] for r in lineage_rows)
-            new_max_us = max(batch_max_us, int(prev_max_us)) if prev_max_us else batch_max_us
-
-            # 5. epoch-fenced bucket-COW merge (watermark advances with it)
+            # 5. epoch-fenced bucket-COW merge (watermark advances with it);
+            #    the touched-bucket set comes from the fused stats pass, so
+            #    merge_cdc runs no pruning job of its own
             result = table.merge_cdc(
                 spark,
                 changes,
@@ -273,13 +320,14 @@ class CdcEngine:
                 epoch=epoch,
                 extra_summary={"epoch": epoch},
                 extra_properties={"cdc.max-ts-us": str(new_max_us)},
+                touched_buckets=[r["partition"] for r in lineage_rows],
             )
 
             # 6. lineage upsert — idempotent by (epoch, partition) key
             snap_id = result["snapshot_id"] if result["applied"] else (
                 self.table().current_snapshot() or {}
             ).get("snapshot_id")
-            lin = self.lineage_table()
+            lin = IceliteTable(self.lineage_location)  # defer metadata read
             if lineage_rows and int(lin.properties().get("lineage.last-epoch", "-1")) < epoch:
                 rows = [
                     {"epoch": epoch, "partition": r["partition"],

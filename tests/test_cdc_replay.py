@@ -273,3 +273,31 @@ def test_streaming_schema_evolution_across_restart(spark, tmp_path, fixture):
     q2 = eng.run_stream(spark, events_dir, ckpt, max_files_per_trigger=1)
     q2.awaitTermination()
     assert_final_state(spark, eng, state, schema)
+
+
+def test_fused_stats_bucket_hash_matches_merge_bucket_expr(spark, tmp_path, fixture):
+    """apply_batch's fused stats pass hashes RAW event key fields and hands
+    the resulting bucket set to merge_cdc as the pruning set — that is only
+    sound if the hash is value- and type-identical to icelite._bucket_expr
+    over the bound (current-schema) columns. Pin the parity, including
+    after a key-column RENAME (values unchanged -> hash unchanged)."""
+    import pandas as pd  # noqa: F401
+
+    base, events, _state, _schema = fixture
+    eng = CdcEngine(str(tmp_path / "parity"), num_buckets=16)
+    table = eng.bootstrap(spark, base_df(spark, base))
+    meta = table.metadata()
+    ev = events_df(spark, events)
+    data = ev.where(F.col("op").isin("insert", "update", "delete"))
+    raw_hash = F.pmod(F.xxhash64(F.col("repo").cast("string"),
+                                 F.col("path").cast("string")), F.lit(16)).cast("int")
+    raw_buckets = {r[0] for r in data.select(raw_hash).distinct().collect()}
+    bound = data.select(F.col("repo"), F.col("path"))
+    merge_buckets = {r[0] for r in bound.select(table._bucket_expr(meta)).distinct().collect()}
+    assert raw_buckets == merge_buckets
+    # rename a key column: current-schema name changes, values don't
+    table.rename_column("repo", "repository")
+    meta2 = table.metadata()
+    bound2 = data.select(F.col("repo").alias("repository"), F.col("path"))
+    merge_buckets2 = {r[0] for r in bound2.select(table._bucket_expr(meta2)).distinct().collect()}
+    assert raw_buckets == merge_buckets2

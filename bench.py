@@ -360,7 +360,12 @@ def scaling_worker(cores: int, n_ev: int):
     failure mode where one huge heap at high thread counts turns GC into
     a memory-bandwidth-bound stall on this host (round-2 finding: 48g at
     local[16] ran 3-10x slower than 24g)."""
-    gb_per_core = float(os.environ.get("SPARK_GRAFT_HEAP_PER_CORE_GB", "1.5"))
+    # 2.0 g/core default (round-4 finding, folded in per the round-4
+    # verdict): the 0.9-target loop OOMed twice at 1.5 g/core once the
+    # streaming replay's dedup state rode along in the same worker; the
+    # 2 g/core override absorbed it at both levels while staying far from
+    # the huge-fixed-heap GC-stall regime documented in BENCH/BASELINE.md
+    gb_per_core = float(os.environ.get("SPARK_GRAFT_HEAP_PER_CORE_GB", "2.0"))
     os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(int(cores * gb_per_core), 6)}g"
     spark = make_session(cores)
     fx = cdc_fixture(spark, n_ev, n_base=200000, n_repos=5000, paths_per_repo=200)

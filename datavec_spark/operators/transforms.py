@@ -489,4 +489,11 @@ class TransformProcess:
 
     @classmethod
     def from_json(cls, s: str) -> "TransformProcess":
-        return cls(json.loads(s)["steps"])
+        steps = json.loads(s)["steps"]
+        # validate at deserialization, same contract as add() — a bad spec
+        # must fail where it enters (e.g. the REST server returns 400 on
+        # POST /transformprocess), not on the first record it transforms
+        for step in steps:
+            if step.get("op") not in OPS:
+                raise ValueError(f"unknown op: {step.get('op')}")
+        return cls(steps)

@@ -1109,7 +1109,12 @@ def label_cosine_stats(spark, sf_dir):
     (test_label_cosine_identity_matches_allpairs) — the right tool for a
     comparison whose two sides differ by ~1e-9 through different float
     paths."""
-    e = _t(spark, sf_dir, "embeddings")
+    return _label_cosine_identity(_t(spark, sf_dir, "embeddings"))
+
+
+def _label_cosine_identity(e):
+    """The identity computation shared by label_cosine_stats (sf table) and
+    label_cosine_allpairs_fixture (fixed fixture vs exact all-pairs SQL)."""
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
     unit = F.transform(v, lambda x: x / norm)
@@ -1128,15 +1133,33 @@ def label_cosine_stats(spark, sf_dir):
             (F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
             # + 0.0 canonicalizes IEEE -0.0 to +0.0 (the compare sorts rows
             # by value repr, where '-0.0' and '0.0' order differently).
-            # The oracle computes THIS identity in SQL — comparing the
-            # identity against the exact all-pairs mean at a fixed rounding
-            # is a knife-edge: their float paths disagree by ~1e-9, and at
-            # sf0.1 the near-zero means land ON 4th-decimal boundaries
-            # (observed). The all-pairs ground-truth check lives in pytest
-            # with a proper tolerance (test_label_cosine_identity).
+            # For the sf tables the oracle computes THIS identity in SQL —
+            # comparing the identity against the exact all-pairs mean at a
+            # fixed rounding is a knife-edge THERE: float paths disagree by
+            # ~1e-9 and sf0.1's near-zero means land ON 4th-decimal
+            # boundaries (observed). Ground truth vs exact all-pairs lives
+            # in pytest (tolerance) AND in the oracle harness on the
+            # clustered fixture (label_cosine_allpairs_fixture), whose ~0.99
+            # within-cluster means sit far from rounding boundaries.
             (F.round((F.col("sumsq") - nd) / (nd * (nd - 1)), 4) + F.lit(0.0)).alias("avg_cos"),
         )
     )
+
+
+def label_cosine_allpairs_fixture(spark, sf_dir):
+    """Ground-truth coverage for the (‖Σu‖²−n)/(n(n−1)) identity INSIDE the
+    oracle harness (round-4 advice item #3): on the deterministic clustered
+    fixture (12 labels × 100 unit-normalizable vectors) the DuckDB oracle
+    enumerates all 4,950 pairs per label EXACTLY (list_cosine_similarity
+    self-join) — a shared algebraic mistake in the identity would diverge
+    here. Safe from the sf-scale rounding knife-edge because within-cluster
+    means are ~0.99, far from any 4th-decimal boundary."""
+    fix = _ensure_ivf_fixture()
+    e = (
+        spark.read.parquet(os.path.join(fix, "clustered.parquet"))
+        .select((F.col("vec_id") / 100).cast("int").alias("label"), "embedding")
+    )
+    return _label_cosine_identity(e)
 
 
 def ann_ivf_topk(spark, sf_dir):
@@ -1617,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 5 (0 prior rows)
         "pii_scrub_docs": pii_scrub_docs,
         "dedup_lines_docs": dedup_lines_docs,
+        "label_cosine_allpairs_fixture": label_cosine_allpairs_fixture,
         # (c) one prior driver row (r4 only)
         "near_dup_components_docs": near_dup_components_docs,
         "cdc_stream_final_state": cdc_stream_final_state,
@@ -1645,9 +1669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        # ---- driver window ends here (entry 50 = q15_top_supplier) ----
+        # ---- driver window ends here (entry 50 = q13_customer_distribution) ----
         # remaining 2-row gates rotate out this round, lead round 6
+        "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -1681,7 +1705,20 @@ def oracle_sql() -> dict[str, str]:
     # exist even if the driver runs the DuckDB side before the Spark side
     _ensure_cdc_fixture()
     _ensure_pii_fixture()
+    _ensure_ivf_fixture()
     return {
+        "label_cosine_allpairs_fixture": rf"""
+            WITH e AS (
+                SELECT (vec_id // 100)::INT AS label, vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM read_parquet('{_IVF_FIXTURE_DIR}/clustered.parquet')),
+            pairs AS (
+                SELECT a.label, list_cosine_similarity(a.v, b.v) AS cos
+                FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT label, count(*) AS n_pairs,
+                   round(avg(cos), 4) + 0.0 AS avg_cos
+            FROM pairs GROUP BY label
+        """,
         "pii_scrub_docs": rf"""
             SELECT doc_id,
                    regexp_replace(

@@ -516,4 +516,4 @@ def test_gate_registry_consistency():
 
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) == set(qs)
-    assert len(qs) == 73  # round-5 count; update with COVERAGE.md rotation
+    assert len(qs) == 74  # round-5 count; update with COVERAGE.md rotation

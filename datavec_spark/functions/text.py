@@ -227,8 +227,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     Shape: explode → two keyed aggregations + one join on token, all in ONE
     job — the corpus token total is derived from the unigram relation
     itself (a 1-row agg broadcast-cross-joined onto it), not a separate
-    `.count()` action, so the exploded relation is scanned once and Spark
-    reuses the groupBy exchange for both consumers. `broadcast_vocab=True`
+    `.count()` action: one fewer job and no driver sync point per call
+    (the explode feeds the probe side and both aggregations within the
+    same job). `broadcast_vocab=True`
     (default) ships the vocabulary to every executor — right for corpora
     whose vocab fits the broadcast limit; at 100 TB Heaps' law can push the
     vocab past that, so pass False to take a shuffled sort-merge join on

@@ -384,11 +384,27 @@ def scaling_worker(cores: int, n_ev: int):
         # checkpointed, watermarked dedup state) — the north rule's replay
         # is stream-shaped, so scaling evidence must cover this path too
         sp_env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+        st_store = os.environ.get("SPARK_GRAFT_STREAM_STATE_STORE") or None
+        st_shuf = int(sp_env) if sp_env else None
+        if os.environ.get("SPARK_GRAFT_STREAM_WARM", "1") == "1":
+            # warm the STREAMING-specific codepaths before the timed run,
+            # symmetric with the batch warm replay above: the stateful dedup
+            # plan's codegen, state-store provider load/commit, checkpoint WAL
+            # and progress machinery are all cold on a fresh JVM, and that
+            # fixed cold cost eats a larger fraction of the short
+            # high-parallelism wall — measured steady state is what a
+            # long-running 10^10-event tail actually pays. Small side fixture
+            # (disk-cached across workers), own temp table + checkpoint.
+            warm_fx = cdc_fixture(spark, 400_000, n_base=20000,
+                                  n_repos=1000, paths_per_repo=50)
+            run_cdc_stream_replay(spark, warm_fx, num_buckets=64,
+                                  n_triggers=2, state_store=st_store,
+                                  shuffle_partitions=st_shuf)
         st = run_cdc_stream_replay(
             spark, fx, num_buckets=64,
             n_triggers=int(os.environ.get("SPARK_GRAFT_STREAM_TRIGGERS", "4")),
-            state_store=os.environ.get("SPARK_GRAFT_STREAM_STATE_STORE") or None,
-            shuffle_partitions=int(sp_env) if sp_env else None)
+            state_store=st_store,
+            shuffle_partitions=st_shuf)
         # DROP-SAFETY ground truth: the batch replay above is watermark-free
         # (zero drops, same fixture) — stream/batch final-state checksum
         # equality proves every watermark-dropped row was either a duplicate

@@ -221,6 +221,12 @@ def read_voc_annotations(spark: SparkSession, annotations_dir: str) -> DataFrame
 
 def read_jdbc(spark: SparkSession, url: str, query: str, **options) -> DataFrame:
     """JDBCRecordReader parity (datavec-jdbc/.../JDBCRecordReader.java:37)
-    — requires a JDBC driver jar on the classpath (not in this sandbox)."""
+    — requires a JDBC driver jar on the classpath. Spark's distribution
+    bundles Derby (metastore dependency), so the embedded-Derby form
+    (`jdbc:derby:<path>;create=true` + driver
+    org.apache.derby.jdbc.EmbeddedDriver) is executable and round-trip
+    tested here; any other engine needs its driver jar added via
+    spark.jars. Predicates in `query` run source-side (the reference
+    reader likewise ships the SQL to the database)."""
     return spark.read.format("jdbc").option("url", url).option("query", query) \
         .options(**options).load()

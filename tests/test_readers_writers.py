@@ -188,3 +188,37 @@ def test_compose_readers_zip(spark, tmp_path):
     out = compose_readers_zip(l, r)
     assert out.count() == 1000
     assert out.where(F.col("b") != F.col("a") * 2).count() == 0
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    # JDBCRecordReader parity, executed for real: Spark's distribution
+    # bundles Derby, so write a table through Spark's JDBC sink into an
+    # embedded database and read it back through read_jdbc with a
+    # source-side query (projection + predicate run in the database,
+    # like the reference reader shipping its SQL to the driver).
+    import pyspark.sql.functions as F
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(0, 100, 1, 2).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    )
+    try:
+        df.write.format("jdbc").option("url", url) \
+            .option("dbtable", "t").options(**drv).save()
+    except Exception as e:  # pragma: no cover - driver genuinely absent
+        if "ClassNotFound" in str(e) or "No suitable driver" in str(e):
+            pytest.skip("no Derby driver on this Spark classpath")
+        raise
+
+    from datavec_spark.sources.readers import read_jdbc
+
+    # Spark's JDBC sink quotes COLUMN identifiers (case-exact "k") but
+    # passes the dbtable name through verbatim (Derby folds it to T), so
+    # the source-side SQL quotes columns and leaves the table unquoted
+    out = read_jdbc(spark, url, 'SELECT "k", "v" FROM t WHERE "k" < 10', **drv)
+    rows = sorted((r["k"], r["v"]) for r in out.collect())
+    assert rows == [(i, float(i * 2)) for i in range(10)]
+    assert len(out.columns) == 2  # projection happened source-side

@@ -426,6 +426,16 @@ class CdcEngine:
                 "spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             )
+            # Changelog checkpointing: commit uploads only the delta since
+            # the last snapshot instead of the full RocksDB snapshot — the
+            # per-trigger commit cost stops growing with TOTAL state size,
+            # which is the difference between O(state) and O(delta) per
+            # commit at 10^10-event dedup state. Snapshots still happen in
+            # the background for recovery.
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
         stream = (
             events_stream
             .withWatermark("ts", watermark_delay)

@@ -366,7 +366,12 @@ def scaling_worker(cores: int, n_ev: int):
     # 2 g/core override absorbed it at both levels while staying far from
     # the huge-fixed-heap GC-stall regime documented in BENCH/BASELINE.md
     gb_per_core = float(os.environ.get("SPARK_GRAFT_HEAP_PER_CORE_GB", "2.0"))
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(int(cores * gb_per_core), 6)}g"
+    # heap floor: min 6g absorbs fixture-generation spikes, but it hands the
+    # low level MORE memory per core than the high level (6g/4 cores = 1.5x
+    # a 1g/core protocol) — a real N-vs-4N cluster gives executors EQUAL
+    # per-core memory, so a strict protocol sets the floor to cores*gb
+    min_gb = int(os.environ.get("SPARK_GRAFT_HEAP_MIN_GB", "6"))
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{max(int(cores * gb_per_core), min_gb)}g"
     # SPARK_GRAFT_SCALE_WORKDIR: put the replay's WORKING state (icelite
     # table, checkpoint, shuffle/spill scratch) on the given dir — e.g. a
     # tmpfs. Rationale: this sandbox has ONE virtio disk shared by both

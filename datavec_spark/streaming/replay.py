@@ -73,9 +73,19 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("min_seq", T.LongType()),
         T.StructField("max_seq", T.LongType()),
         T.StructField("late_count", T.LongType()),
+        T.StructField("dropped_late", T.LongType()),
         T.StructField("snapshot_id", T.LongType()),
     ]
 )
+
+
+def _delay_to_seconds(delay: str) -> int:
+    """Parse a Spark interval string ('600 seconds', '120 minutes',
+    '2 hours', '1 day') into seconds — keeps the apply-stage lateness SLA
+    numerically identical to the watermark delay the stream declares."""
+    n, unit = delay.strip().split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    return int(float(n) * mult[unit.rstrip("s").lower()])
 
 
 def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:
@@ -153,6 +163,7 @@ class CdcEngine:
         epoch: int,
         late_delay_seconds: int = 600,
         transform_chain=None,
+        drop_late: bool = False,
     ) -> dict:
         """Apply one epoch of the change stream. Idempotent per epoch.
 
@@ -172,7 +183,20 @@ class CdcEngine:
         ingest/resume bookkeeping, not post-filter output accounting — and a
         transform chain must never rewrite key columns (it would re-bucket
         rows out from under the merge), which keeps the fused pre-binding
-        bucket hash exact."""
+        bucket hash exact.
+
+        drop_late=True enforces the lateness SLA in the apply stage itself:
+        events older than (max event time of all prior epochs −
+        late_delay_seconds) are dropped before the merge, counted per
+        bucket, and recorded in lineage's `dropped_late` column. This is
+        the stateless-stream path's watermark: the fence `cdc.max-ts-us`
+        advances exactly like Spark's global watermark (max event time of
+        prior triggers), so the drop set matches what a watermarked
+        stateful stage at the same delay would discard — but with no state
+        store, no full-row dedup shuffle, and exact per-bucket drop
+        accounting (a stateful stage drops upstream of foreachBatch, where
+        per-epoch attribution is unavailable). Batch backfills keep
+        drop_late=False: unbounded lateness tolerance."""
         table = IceliteTable(self.table_location)
         meta0 = table.metadata()  # the ONE per-epoch metadata load
         props0 = meta0["properties"]
@@ -278,6 +302,12 @@ class CdcEngine:
             key_cols = table.key_cols(meta)
 
             data = batch_df.where(~is_schema)
+            dropping = drop_late and prev_max_us is not None
+            if dropping:
+                # the stateless-path watermark: enforce the lateness SLA
+                # here (late rows were already counted per bucket by the
+                # fused stats pass — late_count IS the dropped count)
+                data = data.where(F.col("ts") >= late_cut)
             if transform_chain is not None:
                 # DataVec TransformProcess parity: vectorized transform chain
                 # applied inside the merge-apply stage (SURVEY.md §0 graft)
@@ -311,17 +341,31 @@ class CdcEngine:
 
             # 5. epoch-fenced bucket-COW merge (watermark advances with it);
             #    the touched-bucket set comes from the fused stats pass, so
-            #    merge_cdc runs no pruning job of its own
-            result = table.merge_cdc(
-                spark,
-                changes,
-                seq_col="_seq",
-                op_col="_op",
-                epoch=epoch,
-                extra_summary={"epoch": epoch},
-                extra_properties={"cdc.max-ts-us": str(new_max_us)},
-                touched_buckets=[r["partition"] for r in lineage_rows],
-            )
+            #    merge_cdc runs no pruning job of its own. Under drop_late a
+            #    bucket whose arriving events were ALL late has no surviving
+            #    changes — leave it out of the touched set so the merge does
+            #    not rewrite it for nothing.
+            touched = [
+                r["partition"] for r in lineage_rows
+                if not dropping or r["event_count"] > (r["late_count"] or 0)
+            ]
+            if touched:
+                result = table.merge_cdc(
+                    spark,
+                    changes,
+                    seq_col="_seq",
+                    op_col="_op",
+                    epoch=epoch,
+                    extra_summary={"epoch": epoch},
+                    extra_properties={"cdc.max-ts-us": str(new_max_us)},
+                    touched_buckets=touched,
+                )
+            else:
+                # every arriving event was dropped as late: nothing to merge
+                # or fence (idempotent on redelivery — the drop recomputes),
+                # but the drops still land in lineage below
+                result = {"applied": False, "snapshot_id": None,
+                          "reason": "all-late-dropped"}
 
             # 6. lineage upsert — idempotent by (epoch, partition) key
             snap_id = result["snapshot_id"] if result["applied"] else (
@@ -333,6 +377,7 @@ class CdcEngine:
                     {"epoch": epoch, "partition": r["partition"],
                      "event_count": r["event_count"], "min_seq": r["min_seq"],
                      "max_seq": r["max_seq"], "late_count": r["late_count"] or 0,
+                     "dropped_late": (r["late_count"] or 0) if dropping else 0,
                      "snapshot_id": snap_id}
                     for r in lineage_rows
                 ]
@@ -365,6 +410,7 @@ class CdcEngine:
         available_now: bool = True,
         transform_chain=None,
         state_store: str | None = None,
+        dedup: bool = True,
     ):
         """Structured Streaming tail of the event-file directory.
 
@@ -395,6 +441,7 @@ class CdcEngine:
             spark, reader.parquet(events_dir), checkpoint_dir,
             watermark_delay=watermark_delay, available_now=available_now,
             transform_chain=transform_chain, state_store=state_store,
+            dedup=dedup,
         )
 
     def run_stream_df(
@@ -406,6 +453,7 @@ class CdcEngine:
         available_now: bool = True,
         transform_chain=None,
         state_store: str | None = None,
+        dedup: bool = True,
     ):
         """Source-agnostic streaming entry: any streaming DataFrame with the
         EVENT_SPARK_SCHEMA columns (file tail, Kafka value-parsed stream,
@@ -436,14 +484,35 @@ class CdcEngine:
                 "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
                 "true",
             )
-        stream = (
-            events_stream
-            .withWatermark("ts", watermark_delay)
-            .dropDuplicatesWithinWatermark(["seq"])
-        )
+        # dedup=False is the STATELESS path: the merge is already idempotent
+        # by seq (LWW fence: a change applies only if change.seq >
+        # stored.seq), so re-deliveries are no-ops without any dedup state —
+        # the stream runs with NO stateful operator at all. What the
+        # watermarked stage otherwise provides is reproduced in the apply
+        # stage: the lateness SLA is enforced against the cdc.max-ts-us
+        # fence (numerically the same global watermark), drops are counted
+        # per bucket into lineage's dropped_late. This removes the dedup
+        # stage's full-row state shuffle and the state store's GC/commit
+        # cost per trigger — the measured high-parallelism bottleneck
+        # (BENCH/BASELINE.md round-5 diagnosis). Keep dedup=True for
+        # sources with duplicate rates high enough that re-running the
+        # merge's no-op path dominates (rare: a no-op by seq costs one
+        # map-side collapse, not a state lookup).
+        late_delay = _delay_to_seconds(watermark_delay)
+        if dedup:
+            stream = (
+                events_stream
+                .withWatermark("ts", watermark_delay)
+                .dropDuplicatesWithinWatermark(["seq"])
+            )
+        else:
+            stream = events_stream
 
         def process(df: DataFrame, batch_id: int):
-            self.apply_batch(spark, df, epoch=batch_id, transform_chain=transform_chain)
+            self.apply_batch(spark, df, epoch=batch_id,
+                             transform_chain=transform_chain,
+                             late_delay_seconds=late_delay,
+                             drop_late=not dedup)
 
         writer = (
             stream.writeStream.foreachBatch(process)
@@ -474,6 +543,28 @@ class CdcEngine:
             "state_rows_evicted": evicted,
             "state_rows_final": state_rows_last,
             "triggers": len(query.recentProgress),
+        }
+
+    def lineage_drop_totals(self, spark: SparkSession) -> dict:
+        """Drop accounting for the stateless (dedup=False) path, where the
+        apply stage — not a watermarked operator — enforces the lateness
+        SLA: totals over the lineage table's exact per-(epoch, bucket)
+        columns. The stateful path's equivalent is stream_drop_metrics
+        (approximate, query-progress-scoped); this one is durable and
+        survives restarts with the table."""
+        row = (
+            self.read_lineage(spark)
+            .agg(
+                F.sum("dropped_late").alias("dropped"),
+                F.sum("late_count").alias("late"),
+                F.sum("event_count").alias("events"),
+            )
+            .collect()[0]
+        )
+        return {
+            "rows_dropped_late": int(row["dropped"] or 0),
+            "rows_late": int(row["late"] or 0),
+            "rows_arrived": int(row["events"] or 0),
         }
 
     # -- verification ----------------------------------------------------------------

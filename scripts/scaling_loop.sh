@@ -62,7 +62,9 @@ if score < prev:
     shutil.copy("/tmp/scaling_prev.json", out)
     print(f"[scaling_loop] kept previous best {prev} (this run min-score: {score})")
 else:
-    print(f"[scaling_loop] promoted {r['scaling_efficiency']}")
+    print(f"[scaling_loop] promoted min-score {score} "
+          f"(batch {r['scaling_efficiency']}, "
+          f"streaming {r.get('streaming', {}).get('scaling_efficiency')})")
 EOF
 
   EFF=$(best_eff)

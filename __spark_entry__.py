@@ -799,10 +799,19 @@ def doc_repetition_stats(spark, sf_dir):
 
 
 def doc_fingerprint_groups(spark, sf_dir):
+    """Normalized-fingerprint groups on the dup-bearing fixture: catches
+    the case/punctuation/whitespace variant families exact hashing misses
+    (plus the exact groups, which normalize to themselves). The raw
+    xxhash64 fingerprint is Spark-internal, so the gate keys the output on
+    the keeper and the oracle re-derives groups from the normalized TEXT."""
     from datavec_spark.functions.dedup import near_dup_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
-    return near_dup_fingerprint(d).select("n_docs", "keep_id")
+    fix = _ensure_dup_fixture()
+    d = spark.read.parquet(os.path.join(fix, "docs.parquet"))
+    return near_dup_fingerprint(d).select(
+        "n_docs", "keep_id",
+        F.concat_ws(",", F.col("member_ids")).alias("members"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -810,13 +819,67 @@ def doc_fingerprint_groups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_DUP_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "datavec_dup_fixture_v1")
+
+
+def _ensure_dup_fixture() -> str:
+    """Deterministic DUPLICATE-BEARING document fixture for the exact-dup /
+    fingerprint-group gates (round-5 verdict item #2): the shared sf
+    documents table is generated duplicate-free, so those gates matched
+    their oracles on empty results. 41 docs built by pure arithmetic:
+    exact-duplicate groups of size 2/3/4, case/punctuation/whitespace
+    variant families that only collide after fingerprint normalization
+    (lowercase, strip punctuation, collapse whitespace), and unique
+    filler. Written once, atomically renamed into place (same pattern as
+    _ensure_pii_fixture). Reference test shape: the dup-bearing inline
+    fixtures of TestTransforms.java."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(_DUP_FIXTURE_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return _DUP_FIXTURE_DIR
+    os.makedirs(_DUP_FIXTURE_DIR, exist_ok=True)
+    texts = []
+    # exact-duplicate groups: group g appears g+2 times (sizes 2, 3, 4)
+    for g in range(3):
+        t = f"Exact duplicate group {g}: the quick brown fox jumps over the lazy dog {g * 11 % 7}."
+        texts.extend([t] * (g + 2))
+    # fingerprint families: identical AFTER normalization, distinct raw
+    # bytes (exact hashing must NOT group these; the fingerprint must)
+    for g in range(4):
+        base = f"near duplicate family {g} shares normalized content token{g * 5 % 9}"
+        texts.append(base + ".")
+        texts.append(base.upper() + "!!!")
+        texts.append("  " + base.replace(" ", "   ") + " ")
+    # unique filler — no group membership anywhere
+    for u in range(20):
+        texts.append(f"unique document {u} with its own content signature {u * u} and nothing shared")
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    target = os.path.join(_DUP_FIXTURE_DIR, "docs.parquet")
+    tmp_name = f"{target}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp_name)
+    os.rename(tmp_name, target)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return _DUP_FIXTURE_DIR
+
+
 def exact_dup_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.md5(F.col("text")).alias("content_md5"), F.col("doc_id"))
-        .groupBy("content_md5")
-        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
-        .where(F.col("n_dups") > 1)
+    """Exact dup groups on the dup-bearing fixture: content sha256, group
+    size, keeper (min id), and the full sorted member set — the oracle
+    re-derives all four from the same parquet (dedup.exact_duplicates;
+    one hash shuffle, map-side partial agg)."""
+    from datavec_spark.functions.dedup import exact_duplicates
+
+    fix = _ensure_dup_fixture()
+    d = spark.read.parquet(os.path.join(fix, "docs.parquet"))
+    return exact_duplicates(d).select(
+        "content_sha", "n_dups", "keep_id",
+        F.concat_ws(",", F.col("member_ids")).alias("members"),
     )
 
 
@@ -1578,7 +1641,10 @@ def cdc_stream_final_state(spark, sf_dir):
 def cdc_lineage_rows(spark, sf_dir):
     """Per-epoch lineage aggregates. The per-bucket `partition` split uses
     Spark-internal xxhash64 (not reproducible in DuckDB), so the oracle
-    checks the epoch-level rollup: event count, seq range, late count."""
+    checks the epoch-level rollup: event count, seq range, late count, and
+    dropped_late — which the BATCH path must pin to 0 (replay_batch
+    tolerates unbounded lateness; only the stateless stream path drops —
+    the nonzero accounting is gated by cdc_stream_lineage_drops)."""
     eng = _cdc_replay_fixture(spark)
     lin = eng.lineage_table().read(spark)
     return (
@@ -1588,6 +1654,46 @@ def cdc_lineage_rows(spark, sf_dir):
             F.min("min_seq").alias("min_seq"),
             F.max("max_seq").alias("max_seq"),
             F.sum("late_count").alias("late_count"),
+            F.sum("dropped_late").alias("dropped_late"),
+        )
+        .orderBy("epoch")
+    )
+
+
+_CDC_DROPS_ENGINE = None
+
+
+def cdc_stream_lineage_drops(spark, sf_dir):
+    """Stateless-stream drop accounting (north rule: late data beyond the
+    SLA must be surfaced, not silently lost): replay the shared fixture
+    through run_stream(dedup=False) at a 600 s lateness SLA — no stateful
+    operator; the apply stage drops events older than (max prior-epoch
+    event time − 600 s) and records exact counts in lineage's dropped_late
+    column. The oracle re-derives per-epoch dropped counts in SQL from the
+    same parquet chunks (epoch = chunk file in mtime order, cut = running
+    prev-chunk max ts − 600 s). Non-vacuous: the fixture's far-late
+    stragglers (ts 50 min in the past) must be counted."""
+    global _CDC_DROPS_ENGINE
+    from datavec_spark.streaming.replay import CdcEngine
+
+    if _CDC_DROPS_ENGINE is None:
+        fix = _ensure_cdc_fixture()
+        tmp = tempfile.mkdtemp(prefix="cdc_drops_entry_")
+        eng = CdcEngine(os.path.join(tmp, "repos"), num_buckets=8)
+        eng.bootstrap(spark, spark.read.parquet(os.path.join(fix, "base.parquet")))
+        q = eng.run_stream(
+            spark, os.path.join(fix, "events"), os.path.join(tmp, "ckpt"),
+            watermark_delay="600 seconds", max_files_per_trigger=1,
+            available_now=True, dedup=False,
+        )
+        q.awaitTermination()
+        _CDC_DROPS_ENGINE = eng
+    lin = _CDC_DROPS_ENGINE.lineage_table().read(spark)
+    return (
+        lin.groupBy("epoch")
+        .agg(
+            F.sum("event_count").alias("n_events"),
+            F.sum("dropped_late").alias("dropped_late"),
         )
         .orderBy("epoch")
     )
@@ -1660,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_length_filter_events": seq_length_filter_events,
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
+        "cdc_stream_lineage_drops": cdc_stream_lineage_drops,
         "ann_ivf_recall": ann_ivf_recall,
         "decontamination_docs": decontamination_docs,
         "doc_unigram_logprob": doc_unigram_logprob,
@@ -1706,6 +1813,7 @@ def oracle_sql() -> dict[str, str]:
     _ensure_cdc_fixture()
     _ensure_pii_fixture()
     _ensure_ivf_fixture()
+    _ensure_dup_fixture()
     return {
         "label_cosine_allpairs_fixture": rf"""
             WITH e AS (
@@ -2132,20 +2240,22 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(len(toks), 1)), 4) AS avg_word_len
             FROM t GROUP BY lang
         """,
-        "doc_fingerprint_groups": r"""
+        "doc_fingerprint_groups": rf"""
             WITH fp AS (
                 SELECT doc_id,
-                       hash(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
-                                                '\s+', ' ', 'g'))) AS fp_dummy,
                        trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                             '\s+', ' ', 'g')) AS norm
-                FROM documents)
-            SELECT count(*) AS n_docs, min(doc_id) AS keep_id
+                FROM read_parquet('{_DUP_FIXTURE_DIR}/docs.parquet'))
+            SELECT count(*) AS n_docs, min(doc_id) AS keep_id,
+                   array_to_string(list_sort(list(doc_id)), ',') AS members
             FROM fp GROUP BY norm HAVING count(*) > 1
         """,
-        "exact_dup_docs": """
-            SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keep_id
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        "exact_dup_docs": f"""
+            SELECT sha256(text) AS content_sha, count(*) AS n_dups,
+                   min(doc_id) AS keep_id,
+                   array_to_string(list_sort(list(doc_id)), ',') AS members
+            FROM read_parquet('{_DUP_FIXTURE_DIR}/docs.parquet')
+            GROUP BY sha256(text) HAVING count(*) > 1
         """,
         "dedup_exact_docs_count": """
             SELECT count(DISTINCT md5(text)) AS n_unique FROM documents
@@ -2394,7 +2504,32 @@ def oracle_sql() -> dict[str, str]:
                    max(e.seq) AS max_seq,
                    sum(CASE WHEN c.prev_max IS NOT NULL
                                  AND e.ts < c.prev_max - INTERVAL 600 SECONDS
-                            THEN 1 ELSE 0 END)::BIGINT AS late_count
+                            THEN 1 ELSE 0 END)::BIGINT AS late_count,
+                   0::BIGINT AS dropped_late
+            FROM ev e JOIN cuts c USING (epoch)
+            GROUP BY e.epoch ORDER BY e.epoch
+        """,
+        # same fixture through the STATELESS stream at a 600 s SLA: the
+        # engine must have DROPPED exactly the events the late_count formula
+        # identifies (cut = running prev-epoch max event time − 600 s)
+        "cdc_stream_lineage_drops": f"""
+            WITH ev AS (
+                SELECT seq, ts,
+                       regexp_extract(filename, 'events-(\\d+)', 1)::BIGINT AS epoch
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet', filename=true)
+                WHERE op IN ('insert', 'update', 'delete')),
+            epoch_max AS (
+                SELECT epoch, max(ts) AS mx FROM ev GROUP BY epoch),
+            cuts AS (
+                SELECT epoch,
+                       max(mx) OVER (ORDER BY epoch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM epoch_max)
+            SELECT e.epoch,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN c.prev_max IS NOT NULL
+                                 AND e.ts < c.prev_max - INTERVAL 600 SECONDS
+                            THEN 1 ELSE 0 END)::BIGINT AS dropped_late
             FROM ev e JOIN cuts c USING (epoch)
             GROUP BY e.epoch ORDER BY e.epoch
         """,

@@ -44,7 +44,11 @@ def near_dup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "d
     return (
         df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
         .where(F.col("n_docs") > 1)
     )
 

@@ -31,6 +31,10 @@ from pyspark.sql import SparkSession
 
 from datavec_spark.operators.transforms import TransformProcess
 
+# accepted request-body ceiling: generous for batch /transformincremental
+# payloads, small enough that a hostile Content-Length cannot OOM the server
+MAX_BODY_BYTES = 16 * 1024 * 1024
+
 
 class RestTransformServer:
     """HTTP facade over a TransformProcess.
@@ -71,6 +75,11 @@ class RestTransformServer:
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_BODY_BYTES:
+                    # refuse before reading: an unbounded read into memory
+                    # is a trivial DoS on a serving endpoint
+                    raise ValueError(
+                        f"request body {n} bytes exceeds cap {MAX_BODY_BYTES}")
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def do_GET(self):
@@ -100,8 +109,15 @@ class RestTransformServer:
                         self._reply(200, server.apply_records(body["records"]))
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
-                except Exception as exc:  # bad spec/record -> client error
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as exc:
+                    # expected client faults: malformed JSON, missing keys,
+                    # bad spec/record/schema, oversized body
                     self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+                except Exception as exc:  # noqa: BLE001 — genuine server-side
+                    # failure (dead SparkSession, internal bug): report as
+                    # such, never as a client error (round-5 advice)
+                    self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None

@@ -556,6 +556,19 @@ class IceliteTable:
             hit = [f for f in fields if f["name"] == name]
             if not hit:
                 raise ValueError(f"no such column: {name}")
+            if hit[0]["id"] in meta["partition_spec"]["key_field_ids"]:
+                # ENFORCED, not just documented (round-5 advice): bucket
+                # assignment hashes key values with their CURRENT types, and
+                # xxhash64(int) != xxhash64(long) for the same value — a
+                # widened key would silently re-bucket rows away from the
+                # stale files that still hold their old versions (duplicate
+                # keys, no error). Renames are safe (values unchanged);
+                # widening a key requires a full table rewrite, which this
+                # format does not implement.
+                raise ValueError(
+                    f"cannot widen partition-key column {name!r}: the bucket "
+                    "hash is type-sensitive and existing files would keep "
+                    "rows in stale buckets")
             if (hit[0]["type"], new_type) not in _WIDEN_OK:
                 raise ValueError(f"illegal widen {hit[0]['type']} -> {new_type}")
             hit[0]["type"] = new_type

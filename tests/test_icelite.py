@@ -244,3 +244,24 @@ def test_concurrent_appends_threaded_retry(tmp_path):
     ).fetchall()
     assert rows == [(w, i) for w in ("w1", "w2") for i in range(10)]
     assert len(t.snapshots()) == 20  # one snapshot per successful append
+
+
+def test_widen_partition_key_rejected(spark, tmp_path):
+    """Bucket assignment hashes key values with their CURRENT types and
+    xxhash64(int) != xxhash64(long) for the same value: widening a key
+    column would silently strand existing rows in stale buckets (duplicate
+    keys on the next merge). The contract is now enforced, not just
+    documented (round-5 advice item #1)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("_seq", T.LongType()),
+            T.StructField("_deleted", T.BooleanType()),
+        ]
+    )
+    t = IceliteTable.create(str(tmp_path / "kt"), schema, key_cols=["id"], num_buckets=4)
+    with pytest.raises(ValueError, match="partition-key"):
+        t.widen_column("id", "long")
+    t.widen_column("v", "long")  # non-key widen unaffected
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"

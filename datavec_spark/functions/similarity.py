@@ -66,16 +66,62 @@ def train_ivf_centroids(
     return centroids
 
 
-def assign_to_centroid(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding") -> DataFrame:
-    """Add `_cid` = argmin squared-distance to centroids. The centroid list
-    is a literal array-of-arrays (broadcast by the plan); comparison is a
-    native fold, no UDF."""
+def centroids_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(C, dim) ndarray -> the relation shape assign_to_centroid broadcasts:
+    (_cid int, _centroid array<double>)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "_cid int, _centroid array<double>",
+    )
+
+
+def assign_to_centroid(
+    df: DataFrame, centroids, vec_col: str = "embedding",
+    broadcast_threshold: int = 64,
+) -> DataFrame:
+    """Add `_cid` = argmin squared-distance to centroids. Two plans:
+
+    - small C (ndarray, C <= broadcast_threshold): centroid list inlined
+      as a literal array-of-arrays, argmin as one native fold — zero join,
+      but the literal is baked into the generated code, which stops being
+      viable around a few hundred centroids (codegen size, plan re-JIT per
+      query).
+    - large C or a DataFrame of centroids: BROADCAST-RELATION join
+      (crossJoin with an explicitly broadcast (C, dim) relation) +
+      per-row min_by over (d2, _cid). The broadcast hash relation scales
+      to tens of thousands of centroids; map-side partial min_by collapses
+      each vector's C candidate rows before the (1-row-per-vector)
+      exchange. Ties break to the lowest _cid — same contract as the
+      literal path's array_position argmin, so both plans are
+      value-identical.
+    """
+    if isinstance(centroids, DataFrame):
+        return _assign_broadcast(df, centroids, vec_col)
+    if len(centroids) > broadcast_threshold:
+        return _assign_broadcast(df, centroids_df(df.sparkSession, centroids), vec_col)
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     d2 = F.transform(cents, lambda c: F.aggregate(
         F.zip_with(v, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x))
     best = F.array_position(d2, F.array_min(d2)) - 1
     return df.withColumn("_cid", best.cast("int"))
+
+
+def _assign_broadcast(df: DataFrame, cent_df: DataFrame, vec_col: str) -> DataFrame:
+    cols = df.columns
+    base = df.withColumn("_rid", F.monotonically_increasing_id())
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(v, F.col("_centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda s, x: s + x)
+    joined = base.crossJoin(F.broadcast(cent_df))
+    winner = joined.groupBy("_rid").agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in cols], F.col("_cid")),
+            F.struct(d2.alias("_d2"), F.col("_cid")),
+        ).alias("_w")
+    )
+    return winner.select("_w.*")
 
 
 class IvfIndex:

@@ -1714,14 +1714,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries only, so registration order is a rotation schedule
     (round-3 verdict item #1). Policy: gates with the fewest prior driver
     rows come first. Round-5 order (per the round-4 verdict item #4):
-    (a) the 21 gates past the r4 window (each green r1+r2+r3 and
-    judge-verified in r4, but no r4 driver row) lead so every gate has a
-    driver row in r4 ∪ r5; (b) gates new in round 5 (0 rows); (c) the 21
-    gates whose only driver row is r4; (d) six gates with 2 prior rows fill
-    the window. Past the window: the remaining 2-row gates, then 3-row,
-    then 4-row. Full schedule in COVERAGE.md §driver-window rotation."""
+    Round-6 order (per the round-5 verdict item #3): (a) the 24 gates whose
+    latest driver row is r4 (they sat past round 5's window) lead, so
+    CORRECTNESS_r06 ∪ r05 covers all 75 gates; (b) the round-6 addition
+    (0 rows); (c) the three 1-row gates (r5 only); (d) the 21 gates with
+    rows r4+r5; (e) one 3-row gate fills the window. Past the window:
+    the remaining 3-row gates, then the 4-row group. Full schedule in
+    COVERAGE.md §driver-window rotation."""
     return {
-        # (a) rotated back in — judge-verified r4, no r4 driver row
+        # (a) latest driver row is r4 — nine 2-row gates first
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "asof_click_before_purchase": asof_click_before_purchase,
+        "corpus_mix_counts": corpus_mix_counts,
+        "pack_docs_bins": pack_docs_bins,
+        "doc_repetition_stats": doc_repetition_stats,
+        # (a) cont. — ten 3-row gates, latest row r4
+        "q4_order_priority": q4_order_priority,
+        "q12_shipmode": q12_shipmode,
+        "q14_promo_revenue": q14_promo_revenue,
+        "session_window_events": session_window_events,
+        "sliding_halfhour": sliding_halfhour,
+        "salted_lww_events": salted_lww_events,
+        "salted_collect_events": salted_collect_events,
+        "normalize_events_minmax": normalize_events_minmax,
+        "string_ops_nations": string_ops_nations,
+        "onehot_order_status": onehot_order_status,
+        # (a) cont. — five 4-row gates, latest row r4
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "join_left_outer_counts": join_left_outer_counts,
+        "rank_orders": rank_orders,
+        # (b) new in round 6 (0 prior rows)
+        "cdc_stream_lineage_drops": cdc_stream_lineage_drops,
+        # (b') DE-VACUIZED in round 6 (r5 rows matched on empty results;
+        # the round-5 verdict requires fresh rows with nonzero spark_rows)
+        "exact_dup_docs": exact_dup_docs,
+        "doc_fingerprint_groups": doc_fingerprint_groups,
+        # (c) one prior row (r5)
+        "pii_scrub_docs": pii_scrub_docs,
+        "dedup_lines_docs": dedup_lines_docs,
+        "label_cosine_allpairs_fixture": label_cosine_allpairs_fixture,
+        # (d) two prior rows (r4 + r5)
+        "near_dup_components_docs": near_dup_components_docs,
+        "cdc_stream_final_state": cdc_stream_final_state,
+        "cdc_final_schema": cdc_final_schema,
+        "minhash_lsh_docs": minhash_lsh_docs,
+        "simhash_docs": simhash_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "near_dup_scalable_docs": near_dup_scalable_docs,
+        "embedding_topk": embedding_topk,
+        "label_cosine_stats": label_cosine_stats,
+        "ann_ivf_topk": ann_ivf_topk,
+        "embedding_near_dup": embedding_near_dup,
+        "lang_id_counts": lang_id_counts,
+        "tfidf_top_terms": tfidf_top_terms,
+        "term_index_docs": term_index_docs,
+        "geo_ip_region_counts": geo_ip_region_counts,
+        "seq_length_filter_events": seq_length_filter_events,
+        "cdc_replay_final_state": cdc_replay_final_state,
+        "cdc_lineage_rows": cdc_lineage_rows,
+        "ann_ivf_recall": ann_ivf_recall,
+        "decontamination_docs": decontamination_docs,
+        # ---- driver window ends here (entry 50 = decontamination_docs) ----
+        "doc_unigram_logprob": doc_unigram_logprob,
+        # three prior rows (r3+r4+r5)
+        "q22_no_orders": q22_no_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        # four prior rows (r1+r2+r3+r5)
         "exact_dup_docs": exact_dup_docs,
         "q5_region_revenue": q5_region_revenue,
         "q10_returned_items": q10_returned_items,
@@ -1743,67 +1810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_counts": doc_quality_counts,
         "doc_fingerprint_groups": doc_fingerprint_groups,
         "dedup_exact_docs_count": dedup_exact_docs_count,
-        # (b) new in round 5 (0 prior rows)
-        "pii_scrub_docs": pii_scrub_docs,
-        "dedup_lines_docs": dedup_lines_docs,
-        "label_cosine_allpairs_fixture": label_cosine_allpairs_fixture,
-        # (c) one prior driver row (r4 only)
-        "near_dup_components_docs": near_dup_components_docs,
-        "cdc_stream_final_state": cdc_stream_final_state,
-        "cdc_final_schema": cdc_final_schema,
-        "minhash_lsh_docs": minhash_lsh_docs,
-        "simhash_docs": simhash_docs,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
-        "near_dup_scalable_docs": near_dup_scalable_docs,
-        "embedding_topk": embedding_topk,
-        "label_cosine_stats": label_cosine_stats,
-        "ann_ivf_topk": ann_ivf_topk,
-        "embedding_near_dup": embedding_near_dup,
-        "lang_id_counts": lang_id_counts,
-        "tfidf_top_terms": tfidf_top_terms,
-        "term_index_docs": term_index_docs,
-        "geo_ip_region_counts": geo_ip_region_counts,
-        "seq_length_filter_events": seq_length_filter_events,
-        "cdc_replay_final_state": cdc_replay_final_state,
-        "cdc_lineage_rows": cdc_lineage_rows,
-        "cdc_stream_lineage_drops": cdc_stream_lineage_drops,
-        "ann_ivf_recall": ann_ivf_recall,
-        "decontamination_docs": decontamination_docs,
-        "doc_unigram_logprob": doc_unigram_logprob,
-        # (d) two prior rows (r3 + r4) — first 6 fill the window
-        "q22_no_orders": q22_no_orders,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_customer_distribution": q13_customer_distribution,
-        # ---- driver window ends here (entry 50 = q13_customer_distribution) ----
-        # remaining 2-row gates rotate out this round, lead round 6
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "asof_click_before_purchase": asof_click_before_purchase,
-        "corpus_mix_counts": corpus_mix_counts,
-        "pack_docs_bins": pack_docs_bins,
-        "doc_repetition_stats": doc_repetition_stats,
-        # three prior rows
-        "q4_order_priority": q4_order_priority,
-        "q12_shipmode": q12_shipmode,
-        "q14_promo_revenue": q14_promo_revenue,
-        "session_window_events": session_window_events,
-        "sliding_halfhour": sliding_halfhour,
-        "salted_lww_events": salted_lww_events,
-        "salted_collect_events": salted_collect_events,
-        "normalize_events_minmax": normalize_events_minmax,
-        "string_ops_nations": string_ops_nations,
-        "onehot_order_status": onehot_order_status,
-        # four prior rows
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q6_revenue_forecast": q6_revenue_forecast,
-        "join_left_outer_counts": join_left_outer_counts,
-        "rank_orders": rank_orders,
     }
 
 

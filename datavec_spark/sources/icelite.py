@@ -92,6 +92,7 @@ def schema_to_struct(fields: list[dict]) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 BUCKET_COL = "__bucket"
+SLOT_COL = "__slot"
 
 
 class CommitConflict(Exception):
@@ -114,7 +115,19 @@ class IceliteTable:
         key_cols: list[str] | None = None,
         num_buckets: int = 16,
         properties: dict[str, str] | None = None,
+        sub_splits: int = 1,
     ) -> "IceliteTable":
+        """sub_splits > 1 splits every bucket's data into that many FILES,
+        by a second, independent hash of the key (deterministic slots). A
+        merge then rewrites only the slot files whose hash space the
+        changed keys actually occupy — copy-on-write amplification drops
+        from (bucket size) to (bucket size / sub_splits) per changed key.
+        This is the file-level pruning step between bucket-COW and full
+        merge-on-read: at 100 TB, num_buckets fixes shuffle/task
+        parallelism while num_buckets x sub_splits fixes the rewrite unit
+        and target file size. Static by design — slot assignment must be
+        stable across batches or pruning would miss files (the same
+        reason bucket counts are fixed at creation)."""
         t = cls(location)
         os.makedirs(t._meta_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
@@ -129,7 +142,8 @@ class IceliteTable:
             "table_uuid": str(uuid.uuid4()),
             "current_schema_id": 0,
             "schemas": [{"schema_id": 0, "fields": fields}],
-            "partition_spec": {"key_field_ids": key_ids, "num_buckets": num_buckets},
+            "partition_spec": {"key_field_ids": key_ids, "num_buckets": num_buckets,
+                               "sub_splits": int(sub_splits)},
             "properties": dict(properties or {}),
             "current_snapshot_id": None,
             "snapshots": [],
@@ -214,17 +228,36 @@ class IceliteTable:
 
     # -- read ----------------------------------------------------------------
 
+    @staticmethod
+    def _select_files(files: list[dict], bucket_slots) -> tuple[list[dict], list[dict]]:
+        """Partition manifest entries into (selected, rest) by a set of
+        touched (bucket, slot) pairs. An entry with no slot (written by an
+        unsplit table or before splitting) covers its bucket's whole hash
+        space, so it matches whenever its bucket is touched at all."""
+        pairs = set(bucket_slots)
+        touched_buckets = {b for b, _ in pairs}
+        sel, rest = [], []
+        for f in files:
+            hit = (f["bucket"] in touched_buckets
+                   if f.get("slot") is None
+                   else (f["bucket"], f["slot"]) in pairs)
+            (sel if hit else rest).append(f)
+        return sel, rest
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         buckets: list[int] | None = None,
+        bucket_slots=None,
     ) -> DataFrame:
         """Current (or time-travel) snapshot as a DataFrame in the current
         schema. Old-schema files are projected by field id: renamed columns
         aliased, widened columns cast, added columns null-filled. With
-        `buckets`, only data files of those buckets are read (partition
-        pruning at the manifest level — the scale path for merges)."""
+        `buckets`, only data files of those buckets are read; with
+        `bucket_slots` (a collection of (bucket, slot) pairs), only the
+        matching slot FILES within those buckets (file-level pruning at
+        the manifest — the scale path for merges)."""
         meta = self.metadata()
         if snapshot_id is None:
             snap = self.current_snapshot()
@@ -236,14 +269,23 @@ class IceliteTable:
             return spark.createDataFrame([], cur_struct)
 
         files = snap["files"]
-        if buckets is not None:
+        if bucket_slots is not None:
+            files, _ = self._select_files(files, bucket_slots)
+        elif buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
-            if not files:
-                return spark.createDataFrame([], cur_struct)
+        if not files:
+            return spark.createDataFrame([], cur_struct)
+        return self._read_entries(spark, meta, files)
 
-        # group files by the schema they were written with; project each
-        # group to the current schema by field id, then union
+    def _read_entries(self, spark: SparkSession, meta: dict, files: list[dict]) -> DataFrame:
+        """Read specific manifest entries projected to the current schema
+        (empty entry list -> empty DataFrame). Files are grouped by the
+        schema they were written with; each group is projected by field id
+        (rename aliased, widen cast, added null-filled), then unioned."""
+        cur_fields = self._fields(meta)
+        if not files:
+            return spark.createDataFrame([], schema_to_struct(cur_fields))
         by_sid: dict[int, list[str]] = {}
         for f in files:
             by_sid.setdefault(f["schema_id"], []).append(os.path.join(self.location, f["path"]))
@@ -279,27 +321,59 @@ class IceliteTable:
         # a collision + skew hazard this avoids); pmod keeps it non-negative
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
+    @staticmethod
+    def sub_splits(meta: dict) -> int:
+        # .get: metadata written before sub_splits existed means 1
+        return int(meta["partition_spec"].get("sub_splits", 1))
+
+    def _slot_expr(self, meta: dict) -> F.Column:
+        """File slot WITHIN a bucket: a second key hash, independent of the
+        bucket hash (leading literal salt), so slots subdivide each
+        bucket's key population uniformly. Deterministic and computable on
+        raw key values — the CDC fused stats pass derives touched
+        (bucket, slot) pairs in the same aggregation that derives buckets,
+        with no extra job (mirror of the _bucket_expr parity contract)."""
+        keys = self.key_cols(meta)
+        s = self.sub_splits(meta)
+        if not keys or s <= 1:
+            return F.lit(0)
+        return F.pmod(F.xxhash64(F.lit(1), *[F.col(k) for k in keys]), F.lit(s)).cast("int")
+
     def _write_data_files(self, df: DataFrame, meta: dict) -> list[dict]:
-        """Write df (current schema) as bucket-partitioned parquet; return
-        manifest entries. One Spark write job, hive-style bucket dirs."""
+        """Write df (current schema) as bucket-partitioned parquet (one
+        hive dir per bucket, split into sub_splits slot files); return
+        manifest entries. One Spark write job."""
         write_id = uuid.uuid4().hex
         out_dir = os.path.join(self._data_dir, write_id)
         n = meta["partition_spec"]["num_buckets"]
+        s = self.sub_splits(meta)
         keys = self.key_cols(meta)
         staged = df.withColumn(BUCKET_COL, self._bucket_expr(meta))
+        if s > 1:
+            staged = staged.withColumn(SLOT_COL, self._slot_expr(meta))
         if keys:
-            # co-locate each bucket into one task → one file per bucket
-            staged = staged.repartition(n, F.col(BUCKET_COL))
-        staged.write.partitionBy(BUCKET_COL).parquet(out_dir)
+            # co-locate each (bucket, slot) into one task → one file each
+            part_cols = [F.col(BUCKET_COL)] + ([F.col(SLOT_COL)] if s > 1 else [])
+            staged = staged.repartition(n * s, *part_cols)
+        part_by = [BUCKET_COL] + ([SLOT_COL] if s > 1 else [])
+        staged.write.partitionBy(*part_by).parquet(out_dir)
         entries: list[dict] = []
         for bucket_dir in sorted(os.listdir(out_dir)):
             if not bucket_dir.startswith(f"{BUCKET_COL}="):
                 continue
             bucket = int(bucket_dir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
-                if fn.endswith(".parquet"):
-                    rel = os.path.relpath(os.path.join(out_dir, bucket_dir, fn), self.location)
-                    entries.append({"path": rel, "bucket": bucket, "schema_id": meta["current_schema_id"]})
+            bpath = os.path.join(out_dir, bucket_dir)
+            slot_dirs = sorted(d for d in os.listdir(bpath) if d.startswith(f"{SLOT_COL}="))
+            for slot_dir, slot in ([(None, None)] if not slot_dirs
+                                   else [(d, int(d.split("=", 1)[1])) for d in slot_dirs]):
+                spath = bpath if slot_dir is None else os.path.join(bpath, slot_dir)
+                for fn in sorted(os.listdir(spath)):
+                    if fn.endswith(".parquet"):
+                        rel = os.path.relpath(os.path.join(spath, fn), self.location)
+                        e = {"path": rel, "bucket": bucket, "schema_id": meta["current_schema_id"]}
+                        if slot is not None:
+                            e["slot"] = slot
+                        entries.append(e)
         return entries
 
     def _commit_snapshot(
@@ -414,6 +488,7 @@ class IceliteTable:
         extra_summary: dict[str, Any] | None = None,
         extra_properties: dict[str, str] | None = None,
         touched_buckets: list[int] | None = None,
+        touched_bucket_slots=None,
     ) -> dict:
         """Apply per-key winners (one row per key: op ∈ {upsert, delete},
         payload in current schema + seq_col) with last-writer-wins by
@@ -434,6 +509,14 @@ class IceliteTable:
         Without it, the merge derives the set itself (persist + distinct —
         a second job).
 
+        touched_bucket_slots: FILE-level pruning for sub_splits tables — a
+        collection of (bucket, slot) pairs (from _bucket_expr/_slot_expr
+        over the change keys; the CDC stats pass computes both in its one
+        aggregation). Only the matching slot files are read and rewritten;
+        every other file — including other slots of a touched bucket —
+        carries forward untouched. Rewrite amplification per changed key
+        drops from (bucket size) to (bucket size / sub_splits).
+
         Returns {"applied": bool, "snapshot_id": int|None}.
         """
         meta, version = self._load()
@@ -441,17 +524,41 @@ class IceliteTable:
             return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
         keys = self.key_cols(meta)
         assert keys, "merge_cdc requires key columns"
+        subs = self.sub_splits(meta)
+        cur = None
+        if meta["current_snapshot_id"] is not None:
+            cur = next(s for s in meta["snapshots"]
+                       if s["snapshot_id"] == meta["current_snapshot_id"])
+        cur_files = cur["files"] if cur else []
 
         changes = changes.withColumn(BUCKET_COL, self._bucket_expr(meta))
-        persisted = touched_buckets is None
-        if persisted:
-            # persist: the change set is consumed twice (bucket pruning +
-            # merge write) and is typically the output of an aggregation
-            changes = changes.persist()
-            touched = [r[0] for r in changes.select(BUCKET_COL).distinct().collect()]
-        else:
+        persisted = False
+        if touched_bucket_slots is not None:
+            pairs = sorted({(int(b), int(sl)) for b, sl in touched_bucket_slots})
+            touched = sorted({b for b, _ in pairs})
+            selected, untouched = self._select_files(cur_files, pairs)
+        elif touched_buckets is not None:
             touched = sorted(set(touched_buckets))
-        target = self.read(spark, buckets=touched)
+            tset = set(touched)
+            selected = [f for f in cur_files if f["bucket"] in tset]
+            untouched = [f for f in cur_files if f["bucket"] not in tset]
+        else:
+            # persist: the change set is consumed twice (pruning + merge
+            # write) and is typically the output of an aggregation
+            persisted = True
+            changes = changes.persist()
+            if subs > 1:
+                changes = changes.withColumn(SLOT_COL, self._slot_expr(meta))
+                pairs = sorted({(r[0], r[1]) for r in
+                                changes.select(BUCKET_COL, SLOT_COL).distinct().collect()})
+                touched = sorted({b for b, _ in pairs})
+                selected, untouched = self._select_files(cur_files, pairs)
+            else:
+                touched = sorted(r[0] for r in changes.select(BUCKET_COL).distinct().collect())
+                tset = set(touched)
+                selected = [f for f in cur_files if f["bucket"] in tset]
+                untouched = [f for f in cur_files if f["bucket"] not in tset]
+        target = self._read_entries(spark, meta, selected)
 
         data_cols = [f["name"] for f in self._fields(meta)]
         # resolve: keep target rows whose key is absent from changes or whose
@@ -492,13 +599,10 @@ class IceliteTable:
         finally:
             if persisted:
                 changes.unpersist()
-        # current snapshot from the metadata ALREADY loaded for the commit
-        # CAS — not a fresh read (per-epoch serial-path trim)
-        cur = None
-        if meta["current_snapshot_id"] is not None:
-            cur = next(s for s in meta["snapshots"]
-                       if s["snapshot_id"] == meta["current_snapshot_id"])
-        untouched = [f for f in (cur["files"] if cur else []) if f["bucket"] not in set(touched)]
+        # `untouched` was partitioned off the snapshot of the metadata
+        # ALREADY loaded for the commit CAS — no fresh read (serial-path
+        # trim); every selected file was consumed into `merged` above and
+        # is replaced by new_files
         props = dict(extra_properties or {})
         if epoch is not None:
             props["cdc.last-epoch"] = str(epoch)
@@ -507,7 +611,9 @@ class IceliteTable:
             meta,
             version,
             untouched + new_files,
-            {"operation": "merge", "touched-buckets": len(touched), **(extra_summary or {})},
+            {"operation": "merge", "touched-buckets": len(touched),
+             "rewritten-files": len(selected), "carried-files": len(untouched),
+             **(extra_summary or {})},
             properties_update=props,
         )
         return {"applied": True, "snapshot_id": snap_id}

@@ -97,10 +97,16 @@ def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:
 
 
 class CdcEngine:
-    def __init__(self, table_location: str, lineage_location: str | None = None, num_buckets: int = 16):
+    def __init__(self, table_location: str, lineage_location: str | None = None,
+                 num_buckets: int = 16, sub_splits: int = 1):
         self.table_location = table_location
         self.lineage_location = lineage_location or table_location.rstrip("/") + "_lineage"
         self.num_buckets = num_buckets
+        # files per bucket (icelite sub_splits): >1 turns bucket-COW into
+        # file-level COW — merges rewrite only the slot files changed keys
+        # hash into. num_buckets fixes task parallelism; num_buckets x
+        # sub_splits fixes the rewrite unit / target file size at scale.
+        self.sub_splits = sub_splits
 
     # -- bootstrap -------------------------------------------------------------
 
@@ -116,6 +122,7 @@ class CdcEngine:
             schema,
             key_cols=["repo", "path"],
             num_buckets=self.num_buckets,
+            sub_splits=self.sub_splits,
             properties={
                 "cdc.field-map": json.dumps({n: i + 1 for i, n in enumerate(EVENT_FIELDS)}),
                 "cdc.schema-seq": "-1",
@@ -246,13 +253,23 @@ class CdcEngine:
             else:
                 late_expr = F.lit(0).cast("long")
             is_schema = F.col("op").isin(*SCHEMA_OPS)
+            # sub-split tables: derive the file SLOT (second independent key
+            # hash, icelite._slot_expr parity) in the SAME aggregation, so
+            # merge_cdc can prune to slot files with zero extra jobs
+            subs = IceliteTable.sub_splits(meta0)
+            slot_grp = (
+                F.when(is_schema, F.lit(-1))
+                .otherwise(F.pmod(F.xxhash64(F.lit(1), *key_hash_cols), F.lit(subs)).cast("int"))
+                if subs > 1 else F.lit(0)
+            )
             stats_rows = (
                 batch_df.groupBy(
                     F.when(is_schema, F.lit(-1))
                     .otherwise(
                         F.pmod(F.xxhash64(*key_hash_cols), F.lit(table_buckets)).cast("int")
                     )
-                    .alias("partition")
+                    .alias("partition"),
+                    slot_grp.alias("_slot"),
                 )
                 .agg(
                     F.count(F.lit(1)).alias("event_count"),
@@ -288,9 +305,28 @@ class CdcEngine:
                 schema_fence = r["seq"]
                 applied_schema = True
 
-            lineage_rows = [r for r in stats_rows if r["partition"] >= 0]
-            if not lineage_rows:  # empty trigger (no data events this epoch)
+            slot_rows = [r for r in stats_rows if r["partition"] >= 0]
+            if not slot_rows:  # empty trigger (no data events this epoch)
                 return {"applied": False, "snapshot_id": None, "reason": "empty-batch"}
+            # lineage stays at BUCKET grain (its public key is (epoch,
+            # partition)); collapse the slot-grain stats rows per bucket
+            by_bucket: dict[int, dict] = {}
+            for r in slot_rows:
+                a = by_bucket.get(r["partition"])
+                if a is None:
+                    by_bucket[r["partition"]] = {
+                        "partition": r["partition"],
+                        "event_count": r["event_count"], "min_seq": r["min_seq"],
+                        "max_seq": r["max_seq"], "late_count": r["late_count"] or 0,
+                        "_max_ts_us": r["_max_ts_us"],
+                    }
+                else:
+                    a["event_count"] += r["event_count"]
+                    a["min_seq"] = min(a["min_seq"], r["min_seq"])
+                    a["max_seq"] = max(a["max_seq"], r["max_seq"])
+                    a["late_count"] += r["late_count"] or 0
+                    a["_max_ts_us"] = max(a["_max_ts_us"], r["_max_ts_us"])
+            lineage_rows = sorted(by_bucket.values(), key=lambda r: r["partition"])
             batch_max_us = max(r["_max_ts_us"] for r in lineage_rows)
             new_max_us = max(batch_max_us, int(prev_max_us)) if prev_max_us else batch_max_us
 
@@ -345,11 +381,24 @@ class CdcEngine:
             #    bucket whose arriving events were ALL late has no surviving
             #    changes — leave it out of the touched set so the merge does
             #    not rewrite it for nothing.
-            touched = [
-                r["partition"] for r in lineage_rows
-                if not dropping or r["event_count"] > (r["late_count"] or 0)
-            ]
-            if touched:
+            if subs > 1:
+                # slot-grain pruning set: merge rewrites only the slot FILES
+                # the changed keys hash into (under drop_late, a slot whose
+                # arrivals were all late has no surviving changes — skip it)
+                pairs = [
+                    (r["partition"], r["_slot"]) for r in slot_rows
+                    if not dropping or r["event_count"] > (r["late_count"] or 0)
+                ]
+                merge_kw = {"touched_bucket_slots": pairs}
+                have_changes = bool(pairs)
+            else:
+                touched = [
+                    r["partition"] for r in lineage_rows
+                    if not dropping or r["event_count"] > r["late_count"]
+                ]
+                merge_kw = {"touched_buckets": touched}
+                have_changes = bool(touched)
+            if have_changes:
                 result = table.merge_cdc(
                     spark,
                     changes,
@@ -358,7 +407,7 @@ class CdcEngine:
                     epoch=epoch,
                     extra_summary={"epoch": epoch},
                     extra_properties={"cdc.max-ts-us": str(new_max_us)},
-                    touched_buckets=touched,
+                    **merge_kw,
                 )
             else:
                 # every arriving event was dropped as late: nothing to merge

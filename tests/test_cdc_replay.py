@@ -370,3 +370,48 @@ def test_stateless_stream_drops_far_late_dups_into_lineage(spark, tmp_path):
     bad = lin.where(F.col("dropped_late") != F.col("late_count")).count()
     assert bad == 0
     assert_final_state(spark, eng, state, schema)
+
+
+def test_sub_splits_replay_matches_oracle_and_prunes_files(spark, tmp_path, fixture):
+    """End-to-end CDC replay on a sub_splits=4 table: (a) the final state
+    still equals the LWW oracle (file-level COW changes WHICH files are
+    rewritten, never the result), (b) the fused stats pass's raw-field slot
+    hash is value-identical to icelite._slot_expr over bound columns (the
+    parity that makes zero-extra-job file pruning sound), and (c) a
+    single-key delta epoch rewrites a strict subset of its bucket's files."""
+    base, events, state, schema = fixture
+    eng = CdcEngine(str(tmp_path / "split_repos"), num_buckets=4, sub_splits=4)
+    table = eng.bootstrap(spark, base_df(spark, base))
+    meta = table.metadata()
+
+    # (b) slot-hash parity, raw event fields vs bound columns
+    data = events_df(spark, events).where(F.col("op").isin("insert", "update", "delete"))
+    raw_slot = F.pmod(F.xxhash64(F.lit(1), F.col("repo").cast("string"),
+                                 F.col("path").cast("string")), F.lit(4)).cast("int")
+    raw = {(r[0], r[1]) for r in data.select(
+        F.pmod(F.xxhash64("repo", "path"), F.lit(4)).cast("int"), raw_slot).distinct().collect()}
+    bound = {(r[0], r[1]) for r in data.select(
+        table._bucket_expr(meta), table._slot_expr(meta)).distinct().collect()}
+    assert raw == bound
+
+    # (a) chunked replay -> oracle equality
+    n = len(events)
+    for c in range(4):
+        eng.apply_batch(spark, events_df(spark, events[c * n // 4:(c + 1) * n // 4]), epoch=c)
+    assert_final_state(spark, eng, state, schema)
+
+    # (c) small-delta epoch: strict-subset rewrite, carried files identical
+    files_before = {f["path"] for f in eng.table().current_snapshot()["files"]}
+    one = [e for e in events if e["op"] == "update"][0]
+    delta = dict(one)
+    delta["seq"] = n + 100
+    delta["content"] = "new content after the replay"
+    eng.apply_batch(spark, events_df(spark, [delta]), epoch=4)
+    snap = eng.table().current_snapshot()
+    files_after = {f["path"] for f in snap["files"]}
+    assert snap["summary"]["rewritten-files"] == 1
+    assert files_before - files_after == set() or len(files_before - files_after) == 1
+    # every file except (at most) the one touched slot file carried forward
+    assert len(files_before & files_after) >= len(files_before) - 1
+    got = {(r["repo"], r["path"]): r for r in eng.read_current(spark).collect()}
+    assert got[(delta["repo"], delta["path"])]["content"] == "new content after the replay"

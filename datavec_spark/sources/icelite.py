@@ -276,7 +276,28 @@ class IceliteTable:
             files = [f for f in files if f["bucket"] in bset]
         if not files:
             return spark.createDataFrame([], cur_struct)
-        return self._read_entries(spark, meta, files)
+        return self._resolve_mor(self._read_entries(spark, meta, files), meta, files)
+
+    def _resolve_mor(self, df: DataFrame, meta: dict, files: list[dict]) -> DataFrame:
+        """Merge-on-read resolution: when the file set contains DELTA files
+        (appended by merge_cdc(mode='mor')), a key may have several versions
+        across base + delta files — keep only the newest by the table's seq
+        column (LWW, the read-time half of merge-on-read). Tombstone rows
+        survive resolution like any other newest version (read_current-style
+        callers filter them). Zero overhead when no delta file is present:
+        the plan is returned untouched, so pure-COW tables never pay the
+        window. Bucket partitioning keeps every version of a key in the
+        same bucket, so pruned reads resolve correctly; ties on (key, seq)
+        are identical re-delivered rows — either copy is the same row."""
+        if not any(f.get("delta") for f in files):
+            return df
+        keys = self.key_cols(meta)
+        seq_col = meta["properties"].get("mor.seq-col", "_seq")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(seq_col).desc())
+        return df.withColumn("_mor_rn", F.row_number().over(w)) \
+                 .where(F.col("_mor_rn") == 1).drop("_mor_rn")
 
     def _read_entries(self, spark: SparkSession, meta: dict, files: list[dict]) -> DataFrame:
         """Read specific manifest entries projected to the current schema
@@ -489,6 +510,7 @@ class IceliteTable:
         extra_properties: dict[str, str] | None = None,
         touched_buckets: list[int] | None = None,
         touched_bucket_slots=None,
+        mode: str = "cow",
     ) -> dict:
         """Apply per-key winners (one row per key: op ∈ {upsert, delete},
         payload in current schema + seq_col) with last-writer-wins by
@@ -517,6 +539,19 @@ class IceliteTable:
         carries forward untouched. Rewrite amplification per changed key
         drops from (bucket size) to (bucket size / sub_splits).
 
+        mode: 'cow' (default) rewrites the touched files with changes
+        folded in — reads stay plain scans. 'mor' (merge-on-read) APPENDS
+        the change winners as bucket-partitioned DELTA files: per-epoch
+        write cost is proportional to the CHANGES alone (no target read,
+        no join, no rewrite — the full-table COW amplification disappears
+        from the ingest path), and reads pay a per-key max-seq window
+        until compact() folds the deltas back into plain files. At 10^10
+        events with hot tables this is the standard Iceberg/Hudi
+        write-optimized mode; a later COW-mode merge (or compact) on the
+        same table acts as compaction because the target read resolves
+        deltas first. Requires a `_deleted` tombstone column so deletes
+        are representable as rows.
+
         Returns {"applied": bool, "snapshot_id": int|None}.
         """
         meta, version = self._load()
@@ -524,6 +559,11 @@ class IceliteTable:
             return {"applied": False, "snapshot_id": None, "reason": "epoch-fenced"}
         keys = self.key_cols(meta)
         assert keys, "merge_cdc requires key columns"
+        if mode == "mor":
+            return self._merge_mor(
+                meta, version, changes, seq_col, op_col, epoch,
+                extra_summary, extra_properties,
+            )
         subs = self.sub_splits(meta)
         cur = None
         if meta["current_snapshot_id"] is not None:
@@ -558,7 +598,10 @@ class IceliteTable:
                 tset = set(touched)
                 selected = [f for f in cur_files if f["bucket"] in tset]
                 untouched = [f for f in cur_files if f["bucket"] not in tset]
-        target = self._read_entries(spark, meta, selected)
+        # resolve deltas on the target if a prior mor-mode merge appended
+        # any (a cow merge on such a table doubles as compaction of the
+        # touched files)
+        target = self._resolve_mor(self._read_entries(spark, meta, selected), meta, selected)
 
         data_cols = [f["name"] for f in self._fields(meta)]
         # resolve: keep target rows whose key is absent from changes or whose
@@ -613,6 +656,59 @@ class IceliteTable:
             untouched + new_files,
             {"operation": "merge", "touched-buckets": len(touched),
              "rewritten-files": len(selected), "carried-files": len(untouched),
+             **(extra_summary or {})},
+            properties_update=props,
+        )
+        return {"applied": True, "snapshot_id": snap_id}
+
+    def _merge_mor(
+        self,
+        meta: dict,
+        version: int,
+        changes: DataFrame,
+        seq_col: str,
+        op_col: str,
+        epoch: int | None,
+        extra_summary: dict[str, Any] | None,
+        extra_properties: dict[str, str] | None,
+    ) -> dict:
+        """merge_cdc's merge-on-read arm: append change winners as delta
+        files (see merge_cdc docstring). ONE Spark job — the bucket-
+        partitioned delta write of the changes themselves."""
+        data_cols = [f["name"] for f in self._fields(meta)]
+        fields_by_name = {f["name"]: f for f in self._fields(meta)}
+        keys = self.key_cols(meta)
+        if "_deleted" not in data_cols:
+            raise ValueError("mor merge requires a `_deleted` tombstone column")
+        is_del = F.col(op_col) == F.lit("delete")
+        sel = []
+        for c in data_cols:
+            src = (F.col(c) if c in changes.columns
+                   else F.lit(None).cast(type_to_spark(fields_by_name[c]["type"])))
+            if c == "_deleted":
+                # delete ops become tombstone rows; upserts default to live
+                src = F.when(is_del, F.lit(True)).otherwise(F.coalesce(src, F.lit(False)))
+            elif c not in keys and c != seq_col:
+                src = F.when(is_del, F.lit(None).cast(
+                    type_to_spark(fields_by_name[c]["type"]))).otherwise(src)
+            sel.append(src.alias(c))
+        rows = changes.select(*sel)
+        new_files = self._write_data_files(rows, meta)
+        for e in new_files:
+            e["delta"] = True
+        cur = None
+        if meta["current_snapshot_id"] is not None:
+            cur = next(s for s in meta["snapshots"]
+                       if s["snapshot_id"] == meta["current_snapshot_id"])
+        props = dict(extra_properties or {})
+        props["mor.seq-col"] = seq_col
+        if epoch is not None:
+            props["cdc.last-epoch"] = str(epoch)
+        snap_id = self._commit_snapshot(
+            meta,
+            version,
+            (cur["files"] if cur else []) + new_files,
+            {"operation": "merge-mor", "delta-files": len(new_files),
              **(extra_summary or {})},
             properties_update=props,
         )

@@ -99,7 +99,8 @@ def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:
 
 class CdcEngine:
     def __init__(self, table_location: str, lineage_location: str | None = None,
-                 num_buckets: int = 16, sub_splits: int = 1):
+                 num_buckets: int = 16, sub_splits: int = 1,
+                 merge_mode: str = "cow"):
         self.table_location = table_location
         self.lineage_location = lineage_location or table_location.rstrip("/") + "_lineage"
         self.num_buckets = num_buckets
@@ -108,6 +109,11 @@ class CdcEngine:
         # hash into. num_buckets fixes task parallelism; num_buckets x
         # sub_splits fixes the rewrite unit / target file size at scale.
         self.sub_splits = sub_splits
+        # 'cow' rewrites touched files per epoch (read-optimized); 'mor'
+        # appends winner-delta files per epoch (write-optimized: per-epoch
+        # cost proportional to the changes, reads pay a max-seq window
+        # until table().compact() folds the deltas — icelite.merge_cdc).
+        self.merge_mode = merge_mode
 
     # -- bootstrap -------------------------------------------------------------
 
@@ -411,7 +417,15 @@ class CdcEngine:
             #    bucket whose arriving events were ALL late has no surviving
             #    changes — leave it out of the touched set so the merge does
             #    not rewrite it for nothing.
-            if subs > 1:
+            if self.merge_mode == "mor":
+                # write-optimized arm: no pruning set needed — nothing is
+                # rewritten, the winners append as delta files
+                merge_kw = {"mode": "mor"}
+                have_changes = any(
+                    not dropping or r["event_count"] > (r["late_count"] or 0)
+                    for r in lineage_rows
+                )
+            elif subs > 1:
                 # slot-grain pruning set: merge rewrites only the slot FILES
                 # the changed keys hash into (under drop_late, a slot whose
                 # arrivals were all late has no surviving changes — skip it)

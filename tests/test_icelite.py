@@ -356,3 +356,58 @@ def test_sub_splits_self_derived_pruning_and_legacy_files(spark, tmp_path):
     assert victim["path"] not in {f["path"] for f in snap2["files"]}
     got2 = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert got2[keys_in_bucket[0]] == 999 and len(got2) == 60
+
+
+def test_merge_on_read_mode(spark, tmp_path):
+    """merge_cdc(mode='mor'): epochs append winner-delta files (base files
+    untouched — per-epoch write cost proportional to the CHANGES, the
+    write-optimized Iceberg/Hudi shape); reads resolve LWW by max-seq at
+    read time, tombstones included; compact() folds deltas into plain
+    files with identical content; a COW merge on a delta-bearing table
+    resolves first (doubles as compaction of touched files)."""
+    t = make(spark, tmp_path, [("a", 1, 5, False), ("b", 2, 5, False)])
+    base_paths = {f["path"] for f in t.current_snapshot()["files"]}
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    ch1 = spark.createDataFrame(
+        [("a", 10, 9, False, "upsert"),   # newer -> wins at read
+         ("b", 99, 3, False, "upsert"),   # older -> loses at read
+         ("c", 7, 8, False, "upsert")],
+        ch_schema)
+    res = t.merge_cdc(spark, ch1, epoch=0, mode="mor")
+    assert res["applied"]
+    snap1 = t.current_snapshot()
+    assert snap1["summary"]["operation"] == "merge-mor"
+    # base files carried untouched; only delta files added
+    assert base_paths <= {f["path"] for f in snap1["files"]}
+    assert all(f.get("delta") for f in snap1["files"] if f["path"] not in base_paths)
+
+    rows = {r["k"]: (r["v"], r["_seq"], r["_deleted"]) for r in t.read(spark).collect()}
+    assert rows == {"a": (10, 9, False), "b": (2, 5, False), "c": (7, 8, False)}
+
+    # second mor epoch: a delete arrives as an op (tombstone row appended)
+    ch2 = spark.createDataFrame([("c", None, 11, None, "delete")], ch_schema)
+    t.merge_cdc(spark, ch2, epoch=1, mode="mor")
+    rows = {r["k"]: (r["_seq"], r["_deleted"]) for r in t.read(spark).collect()}
+    assert rows["c"] == (11, True)  # tombstone is the newest version
+    # epoch fence holds across modes
+    assert not t.merge_cdc(spark, ch2, epoch=1, mode="mor")["applied"]
+
+    # compact folds deltas: same resolved content, no delta entries left
+    before = sorted((r["k"], r["v"], r["_seq"], r["_deleted"])
+                    for r in t.read(spark).collect())
+    t.compact(spark)
+    snap2 = t.current_snapshot()
+    assert not any(f.get("delta") for f in snap2["files"])
+    after = sorted((r["k"], r["v"], r["_seq"], r["_deleted"])
+                   for r in t.read(spark).collect())
+    assert before == after
+
+    # cow merge on a fresh mor table resolves deltas in its target read
+    t2 = make(spark, tmp_path / "two", [("x", 1, 0, False)])
+    t2.merge_cdc(spark, spark.createDataFrame(
+        [("x", 5, 2, False, "upsert")], ch_schema), epoch=0, mode="mor")
+    t2.merge_cdc(spark, spark.createDataFrame(
+        [("x", 9, 4, False, "upsert")], ch_schema), epoch=1)  # cow
+    got = {r["k"]: (r["v"], r["_seq"]) for r in t2.read(spark).collect()}
+    assert got == {"x": (9, 4)}
+    assert not any(f.get("delta") for f in t2.current_snapshot()["files"])

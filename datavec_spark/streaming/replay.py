@@ -100,7 +100,7 @@ def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:
 class CdcEngine:
     def __init__(self, table_location: str, lineage_location: str | None = None,
                  num_buckets: int = 16, sub_splits: int = 1,
-                 merge_mode: str = "cow"):
+                 merge_mode: str = "cow", compact_every: int | None = None):
         self.table_location = table_location
         self.lineage_location = lineage_location or table_location.rstrip("/") + "_lineage"
         self.num_buckets = num_buckets
@@ -114,6 +114,12 @@ class CdcEngine:
         # cost proportional to the changes, reads pay a max-seq window
         # until table().compact() folds the deltas — icelite.merge_cdc).
         self.merge_mode = merge_mode
+        # mor compaction cadence: fold deltas back into plain files every N
+        # applied epochs, bounding read-side resolution cost by (N x trigger
+        # changes) instead of the full delta history. Re-running compaction
+        # after a crash-redelivered epoch is harmless (content-idempotent
+        # snapshot commit). None = manual compact() only.
+        self.compact_every = compact_every
 
     # -- bootstrap -------------------------------------------------------------
 
@@ -454,6 +460,11 @@ class CdcEngine:
                     **merge_kw,
                 )
                 _mark("merge_job")
+                if (result["applied"] and self.merge_mode == "mor"
+                        and self.compact_every
+                        and (epoch + 1) % self.compact_every == 0):
+                    table.compact(spark)
+                    _mark("compact")
             else:
                 # every arriving event was dropped as late: nothing to merge
                 # or fence (idempotent on redelivery — the drop recomputes),

@@ -441,3 +441,21 @@ def test_mor_engine_replay_matches_oracle(spark, tmp_path, fixture):
     eng.table().compact(spark)
     assert not any(f.get("delta") for f in eng.table().current_snapshot()["files"])
     assert_final_state(spark, eng, state, schema)
+
+
+def test_mor_auto_compaction_cadence(spark, tmp_path, fixture):
+    """compact_every=2 on a mor engine: deltas fold every second epoch, so
+    the snapshot never accumulates more than ~2 epochs of delta files and
+    the final state still matches the oracle."""
+    base, events, state, schema = fixture
+    eng = CdcEngine(str(tmp_path / "morc"), num_buckets=8,
+                    merge_mode="mor", compact_every=2)
+    eng.bootstrap(spark, base_df(spark, base))
+    n = len(events)
+    for c in range(4):
+        eng.apply_batch(spark, events_df(spark, events[c * n // 4:(c + 1) * n // 4]), epoch=c)
+    snap = eng.table().current_snapshot()
+    # epoch 3 compacted (epochs 0-1 folded at epoch 1, 2-3 at epoch 3)
+    assert snap["summary"]["operation"] == "compact"
+    assert not any(f.get("delta") for f in snap["files"])
+    assert_final_state(spark, eng, state, schema)

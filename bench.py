@@ -100,7 +100,10 @@ def cdc_fixture(spark, n_events: int, n_base: int, n_repos: int, paths_per_repo:
     """Generate (once, cached on disk) the bench event log + base rows —
     distributed via the JVM-side generator (no driver loop; the same path a
     10^10-event cluster fixture would use)."""
-    key = f"ev{n_events}_b{n_base}_r{n_repos}_p{paths_per_repo}"
+    # v2: dup re-deliveries interleave in emission order (near-dups shortly
+    # after their originals, ~10% far-late) -> even trigger sizes; distinct
+    # from the v1 all-dups-trailing layout cached under the unsuffixed key
+    key = f"ev{n_events}_b{n_base}_r{n_repos}_p{paths_per_repo}_v2"
     out = os.path.join(_FIXTURE_CACHE, key)
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
@@ -134,19 +137,18 @@ def cdc_fixture(spark, n_events: int, n_base: int, n_repos: int, paths_per_repo:
 
 def _normalize_event_mtimes(events_dir: str) -> None:
     """Stamp event part-files with mtimes strictly increasing in FILENAME
-    order. part-NNNNN order == spark.range partition order == seq order
-    (with the ~2% duplicate re-deliveries in the trailing partitions —
-    they are MEANT to arrive last), but the files are WRITTEN by concurrent
-    tasks, so raw mtimes land in near-random order — and the streaming file
-    source builds triggers in mtime order. Without this a trigger can
-    deliver a whole seq-block hours of event time older than a previous
-    trigger's max, and the watermarked dedup stage (correctly) drops those
-    rows as late — nondeterministic trigger composition across runs. A
-    binlog tail delivers files in log order; this makes the fixture honor
-    that contract. (The remaining rows_dropped_late ≈ 2% of the stream are
-    exactly the far-late duplicate re-deliveries whose originals already
-    committed — final-state checksum equality with the batch replay proves
-    zero real-event loss.) Idempotent."""
+    order. part-NNNNN order == range-partitioned EMISSION order (main
+    events with near-dups interleaved shortly after their originals, the
+    far-late dup tail in the last files), but the files are WRITTEN by
+    concurrent tasks, so raw mtimes land in near-random order — and the
+    streaming file source builds triggers in mtime order. Without this a
+    trigger can deliver a whole block hours of event time older than a
+    previous trigger's max, and the lateness SLA (correctly) drops those
+    rows — nondeterministic trigger composition across runs. A binlog tail
+    delivers files in log order; this makes the fixture honor that
+    contract. (rows_dropped_late = the far-late dup re-deliveries whose
+    originals already committed — final-state checksum equality with the
+    batch replay proves zero real-event loss.) Idempotent."""
     files = sorted(
         os.path.join(events_dir, f) for f in os.listdir(events_dir)
         if f.startswith("part-")

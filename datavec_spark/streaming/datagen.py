@@ -324,5 +324,27 @@ def events_df_spark(spark, n_events: int, n_repos: int = 2000, paths_per_repo: i
             "struct<col_name:string,new_name:string,new_type:string>"
         ).alias("schema_change"),
     )
+    # duplicate re-deliveries, matching the python generator's model: most
+    # dups re-emit a few positions after their original (they land in the
+    # SAME delivery window — in-batch LWW/seq-fence no-ops), while a small
+    # tail re-emits far later (hours of event time behind the stream max —
+    # the lateness-SLA drop path). Emission order is materialized as an
+    # explicit index so the parquet files (and therefore streaming
+    # triggers) carry main events and near-dups interleaved in delivery
+    # order with near-EVEN file sizes, instead of all dups bunched into
+    # trailing near-empty files.
+    emit_main = (seq * 64).alias("_emit")
+    near_lag = F.pmod(F.xxhash64(seq, F.lit(43)), F.lit(50)) + 1
+    is_far = F.pmod(F.xxhash64(seq, F.lit(47)), F.lit(10)) == 0  # ~10% of dups
+    dup_emit = F.when(
+        is_far, F.lit(n_events + 1) * 64 + seq  # re-delivered at the very end
+    ).otherwise((seq + near_lag) * 64 + 1).alias("_emit")
     dups = out.where(F.pmod(F.xxhash64(seq, F.lit(41)), F.lit(100)) < dup_pct)
-    return out.unionByName(dups)
+    all_ev = (
+        out.withColumn("_emit", emit_main)
+        .unionByName(dups.withColumn("_emit", dup_emit))
+        .repartitionByRange(num_partitions, F.col("_emit"))
+        .sortWithinPartitions("_emit")
+        .drop("_emit")
+    )
+    return all_ev

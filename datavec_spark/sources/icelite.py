@@ -276,28 +276,40 @@ class IceliteTable:
             files = [f for f in files if f["bucket"] in bset]
         if not files:
             return spark.createDataFrame([], cur_struct)
-        return self._resolve_mor(self._read_entries(spark, meta, files), meta, files)
+        return self._read_resolved(spark, meta, files)
 
-    def _resolve_mor(self, df: DataFrame, meta: dict, files: list[dict]) -> DataFrame:
-        """Merge-on-read resolution: when the file set contains DELTA files
-        (appended by merge_cdc(mode='mor')), a key may have several versions
-        across base + delta files — keep only the newest by the table's seq
-        column (LWW, the read-time half of merge-on-read). Tombstone rows
-        survive resolution like any other newest version (read_current-style
-        callers filter them). Zero overhead when no delta file is present:
-        the plan is returned untouched, so pure-COW tables never pay the
-        window. Bucket partitioning keeps every version of a key in the
-        same bucket, so pruned reads resolve correctly; ties on (key, seq)
-        are identical re-delivered rows — either copy is the same row."""
-        if not any(f.get("delta") for f in files):
-            return df
+    def _read_resolved(self, spark: SparkSession, meta: dict, files: list[dict]) -> DataFrame:
+        """Read manifest entries with merge-on-read resolution: when the
+        file set contains DELTA files (appended by merge_cdc(mode='mor')),
+        a key may have several versions across base + delta files — keep
+        only the newest by the table's seq column (LWW, the read-time half
+        of merge-on-read). The resolution window runs ONLY over buckets
+        that actually hold a delta file: a key's versions all live in its
+        bucket, so delta-free buckets are final and stream through as
+        plain scans — at scale the read amplification is bounded by the
+        HOT bucket set × compaction cadence, not the table size. Tombstone
+        rows survive resolution like any other newest version
+        (read_current-style callers filter them). Zero overhead when no
+        delta file is present. Ties on (key, seq) are identical
+        re-delivered rows — either copy is the same row."""
+        delta_buckets = {f["bucket"] for f in files if f.get("delta")}
+        if not delta_buckets:
+            return self._read_entries(spark, meta, files)
         keys = self.key_cols(meta)
         seq_col = meta["properties"].get("mor.seq-col", "_seq")
         from pyspark.sql import Window
 
+        hot = [f for f in files if f["bucket"] in delta_buckets]
+        clean = [f for f in files if f["bucket"] not in delta_buckets]
         w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(seq_col).desc())
-        return df.withColumn("_mor_rn", F.row_number().over(w)) \
-                 .where(F.col("_mor_rn") == 1).drop("_mor_rn")
+        resolved = (
+            self._read_entries(spark, meta, hot)
+            .withColumn("_mor_rn", F.row_number().over(w))
+            .where(F.col("_mor_rn") == 1).drop("_mor_rn")
+        )
+        if not clean:
+            return resolved
+        return self._read_entries(spark, meta, clean).unionByName(resolved)
 
     def _read_entries(self, spark: SparkSession, meta: dict, files: list[dict]) -> DataFrame:
         """Read specific manifest entries projected to the current schema
@@ -601,7 +613,7 @@ class IceliteTable:
         # resolve deltas on the target if a prior mor-mode merge appended
         # any (a cow merge on such a table doubles as compaction of the
         # touched files)
-        target = self._resolve_mor(self._read_entries(spark, meta, selected), meta, selected)
+        target = self._read_resolved(spark, meta, selected)
 
         data_cols = [f["name"] for f in self._fields(meta)]
         # resolve: keep target rows whose key is absent from changes or whose

@@ -411,3 +411,28 @@ def test_merge_on_read_mode(spark, tmp_path):
     got = {r["k"]: (r["v"], r["_seq"]) for r in t2.read(spark).collect()}
     assert got == {"x": (9, 4)}
     assert not any(f.get("delta") for f in t2.current_snapshot()["files"])
+
+
+def test_mor_resolution_prunes_to_delta_buckets(spark, tmp_path):
+    """The mor read-side window runs only over buckets holding a delta
+    file; delta-free buckets stream through as plain scans. Pin via the
+    executed plan: with ONE hot bucket, exactly one Window operator and
+    a union with the plain side appear, and the result equals a full
+    resolution."""
+    t = make(spark, tmp_path, [(f"k{i}", i, 0, False) for i in range(80)])
+    meta = t.metadata()
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    # pick a key, find its bucket; delta lands only there
+    b7 = spark.createDataFrame([("k7",)], "k string") \
+        .select(t._bucket_expr(meta).alias("b")).collect()[0]["b"]
+    t.merge_cdc(spark, spark.createDataFrame(
+        [("k7", 700, 3, False, "upsert")], ch_schema), epoch=0, mode="mor")
+    df = t.read(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "Union" in plan
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert got["k7"] == 700 and len(got) == 80
+    # the hot side reads only the delta bucket's files
+    hot_files = [f for f in t.current_snapshot()["files"]
+                 if f["bucket"] == b7]
+    assert any(f.get("delta") for f in hot_files)

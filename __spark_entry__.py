@@ -1743,7 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Gate registry. ORDER MATTERS: the driver records CORRECTNESS rows for
     the FIRST 50 entries only, so registration order is a rotation schedule
     (round-3 verdict item #1). Policy: gates with the fewest prior driver
-    rows come first. Round-5 order (per the round-4 verdict item #4):
+    rows come first.
     Round-6 order (per the round-5 verdict item #3): (a) the 24 gates whose
     latest driver row is r4 (they sat past round 5's window) lead, so
     CORRECTNESS_r06 ∪ r05 covers all 75 gates; (b) the round-6 addition
@@ -1820,7 +1820,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": q9_product_profit,
         "q13_customer_distribution": q13_customer_distribution,
         # four prior rows (r1+r2+r3+r5)
-        "exact_dup_docs": exact_dup_docs,
         "q5_region_revenue": q5_region_revenue,
         "q10_returned_items": q10_returned_items,
         "reduce_multiop_orders": reduce_multiop_orders,
@@ -1839,7 +1838,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": histogram_order_price,
         "token_stats_by_lang": token_stats_by_lang,
         "doc_quality_counts": doc_quality_counts,
-        "doc_fingerprint_groups": doc_fingerprint_groups,
         "dedup_exact_docs_count": dedup_exact_docs_count,
     }
 

@@ -1668,6 +1668,39 @@ def cdc_mor_final_state(spark, sf_dir):
     return _CDC_MOR_ENGINE.final_state_hashes(spark).orderBy("repo", "path")
 
 
+def cdc_changes_since(spark, sf_dir):
+    """Incremental changelog read (icelite.read_changes — the read-side
+    half of a CDC engine: downstream consumers poll "what changed since
+    snapshot X" instead of re-scanning the table): everything that changed
+    between the cached COW replay's epoch-1 snapshot and its final state.
+    Upserts carry the new content sha, deletes the last visible old sha.
+    The oracle re-derives both LWW states in SQL (event chunks <= 1 vs all
+    chunks) and full-outer-diffs them on (repo, path); "row changed" ⟺
+    the winning seq changed, because every non-key column — including the
+    stored _seq the Spark-side diff compares — is a function of the
+    winning event. Scale: the diff prunes to buckets of manifest entries
+    added/removed between the snapshots (changed keys never leave their
+    bucket) and runs ONE full-outer shuffle over those buckets —
+    O(hot-bucket bytes) per poll, not O(table)."""
+    import json as _json
+
+    eng = _cdc_replay_fixture(spark)
+    t = eng.table()
+    snap_e1 = next(s["snapshot_id"] for s in t.snapshots()
+                   if s["summary"].get("operation") == "merge"
+                   and s["summary"].get("epoch") == 1)
+    fmap = _json.loads(t.properties()["cdc.field-map"])
+    by_id = {f["id"]: f["name"] for f in t._fields(t.metadata())}
+    content_name = by_id[fmap["content"]]
+    return (
+        t.read_changes(spark, from_snapshot_id=snap_e1)
+        .select("repo", "path",
+                F.col("_change_type").alias("change_type"),
+                F.sha2(F.col(content_name), 256).alias("content_sha"))
+        .orderBy("repo", "path")
+    )
+
+
 def cdc_lineage_rows(spark, sf_dir):
     """Per-epoch lineage aggregates. The per-bucket `partition` split uses
     Spark-internal xxhash64 (not reproducible in DuckDB), so the oracle
@@ -1782,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 6 (0 prior rows)
         "cdc_stream_lineage_drops": cdc_stream_lineage_drops,
         "cdc_mor_final_state": cdc_mor_final_state,
+        "cdc_changes_since": cdc_changes_since,
         # (b') DE-VACUIZED in round 6 (r5 rows matched on empty results;
         # the round-5 verdict requires fresh rows with nonzero spark_rows)
         "exact_dup_docs": exact_dup_docs,
@@ -1809,8 +1843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_length_filter_events": seq_length_filter_events,
         "cdc_replay_final_state": cdc_replay_final_state,
         "cdc_lineage_rows": cdc_lineage_rows,
+        # ---- driver window ends here (entry 50 = cdc_lineage_rows) ----
         "ann_ivf_recall": ann_ivf_recall,
-        # ---- driver window ends here (entry 50 = ann_ivf_recall) ----
         "decontamination_docs": decontamination_docs,
         "doc_unigram_logprob": doc_unigram_logprob,
         # three prior rows (r3+r4+r5)
@@ -2511,6 +2545,44 @@ def oracle_sql() -> dict[str, str]:
         # ... and so must the merge-on-read arm (two physical strategies,
         # one semantics — identical oracle)
         "cdc_mor_final_state": _CDC_FINAL_STATE_SQL,
+        # changelog diff: LWW state over chunks <= 1 vs over all chunks,
+        # full-outer-diffed on the key; a key changed ⟺ its winning seq
+        # changed (re-delivered duplicates share seq and payload, so equal
+        # seq ⟹ identical row), presence-only diffs are inserts/deletes
+        "cdc_changes_since": f"""
+            WITH ev AS (
+                SELECT seq, op, repo, path, content,
+                       regexp_extract(filename, 'events-(\\d+)', 1)::BIGINT AS chunk
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/events/events-*.parquet', filename=true)
+                WHERE op IN ('insert', 'update', 'delete')),
+            base AS (
+                SELECT 0::BIGINT AS seq, 'insert' AS op, repo, path, content,
+                       -1::BIGINT AS chunk
+                FROM read_parquet('{_CDC_FIXTURE_DIR}/base.parquet')),
+            u AS (SELECT * FROM ev UNION ALL SELECT * FROM base),
+            w1 AS (
+                SELECT repo, path, op, content, seq FROM u WHERE chunk <= 1
+                QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1),
+            w2 AS (
+                SELECT repo, path, op, content, seq FROM u
+                QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) = 1),
+            o AS (SELECT * FROM w1 WHERE op <> 'delete'),
+            n AS (SELECT * FROM w2 WHERE op <> 'delete'),
+            d AS (
+                SELECT coalesce(n.repo, o.repo) AS repo,
+                       coalesce(n.path, o.path) AS path,
+                       CASE WHEN n.repo IS NOT NULL
+                                 AND (o.repo IS NULL OR n.seq <> o.seq)
+                            THEN 'upsert'
+                            WHEN o.repo IS NOT NULL AND n.repo IS NULL
+                            THEN 'delete' END AS change_type,
+                       sha256(CASE WHEN n.repo IS NULL THEN o.content
+                                   ELSE n.content END) AS content_sha
+                FROM n FULL OUTER JOIN o
+                  ON n.repo = o.repo AND n.path = o.path)
+            SELECT * FROM d WHERE change_type IS NOT NULL
+            ORDER BY repo, path
+        """,
         # invariant-style oracle: the fixture's schema-evolution script is
         # deterministic, so the expected final schema is a known literal
         # (the interesting computation — applying add/rename/widen in seq

@@ -8,11 +8,12 @@ with a metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas stages over mapInPandas.
 
 Codec chain: PIL when installed (any format) → pure-stdlib PNG decode
-(png_codec.py — zlib inflate + scanline unfilter; real decode with no
-third-party deps) → deterministic fake (bytes-hash-seeded arrays) for
-formats with no available codec (JPEG etc.). The Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is identical across the
-three paths.
+(png_codec.py — zlib inflate + scanline unfilter) → pure-numpy baseline
+JPEG decode (jpeg_codec.py — T.81 sequential DCT + Huffman; covers
+4:4:4/4:2:2/4:2:0, grey/YCbCr, restart markers) → deterministic fake
+(bytes-hash-seeded arrays) for formats with no available codec
+(progressive JPEG, video codecs). The Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is identical across all paths.
 """
 
 from __future__ import annotations
@@ -86,7 +87,10 @@ def decode_and_resize(
                     except Exception:
                         arr = None
                 if arr is None and raw:
-                    # stdlib PNG path: real decode without PIL
+                    # stdlib PNG / baseline-JPEG paths: real decode without PIL
+                    from datavec_spark.functions.jpeg_codec import (
+                        decode_jpeg, is_jpeg,
+                    )
                     from datavec_spark.functions.png_codec import (
                         decode_png, is_png, resize_nearest, to_channels,
                     )
@@ -97,6 +101,14 @@ def decode_and_resize(
                             arr = resize_nearest(to_channels(px, channels), height, width)
                             fmt = "png"
                         except ValueError:
+                            arr = None
+                    elif is_jpeg(raw):
+                        try:
+                            px = decode_jpeg(raw)
+                            arr = resize_nearest(to_channels(px, channels), height, width)
+                            fmt = "jpeg"
+                        except ValueError:
+                            # progressive/arithmetic/corrupt → deterministic fake
                             arr = None
                 if arr is None:
                     arr, fmt = _fake_decode(raw, height, width, channels), "fake"

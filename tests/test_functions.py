@@ -570,4 +570,4 @@ def test_gate_registry_consistency():
 
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) == set(qs)
-    assert len(qs) == 76  # round-6 count; update with COVERAGE.md rotation
+    assert len(qs) == 77  # round-6 count; update with COVERAGE.md rotation

@@ -436,3 +436,75 @@ def test_mor_resolution_prunes_to_delta_buckets(spark, tmp_path):
     hot_files = [f for f in t.current_snapshot()["files"]
                  if f["bucket"] == b7]
     assert any(f.get("delta") for f in hot_files)
+
+
+def test_read_changes_cow_diff(spark, tmp_path):
+    """Incremental changelog over COW merges: upsert/update/delete between
+    two snapshots, unchanged keys silent, initial-load mode, and the
+    no-change / same-snapshot edges."""
+    t = make(spark, tmp_path, [("a", 1, 5, False), ("b", 2, 5, False),
+                               ("z", 9, 5, False)])
+    s0 = t.current_snapshot()["snapshot_id"]
+
+    # initial load: everything as upsert
+    init = {r["k"]: r["_change_type"]
+            for r in t.read_changes(spark, from_snapshot_id=None).collect()}
+    assert init == {"a": "upsert", "b": "upsert", "z": "upsert"}
+
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    t.merge_cdc(spark, spark.createDataFrame(
+        [("a", 10, 9, False, "upsert"),      # update
+         ("b", 0, 8, False, "delete"),       # delete
+         ("c", 7, 8, False, "upsert"),       # insert
+         ("z", 9, 4, False, "upsert")],      # LWW loser → NOT a change
+        ch_schema), epoch=0)
+    s1 = t.current_snapshot()["snapshot_id"]
+
+    got = {r["k"]: (r["_change_type"], r["v"])
+           for r in t.read_changes(spark, from_snapshot_id=s0,
+                                   to_snapshot_id=s1).collect()}
+    assert got == {"a": ("upsert", 10), "b": ("delete", 2), "c": ("upsert", 7)}
+
+    # same snapshot on both sides → empty; unknown snapshot → ValueError
+    assert t.read_changes(spark, from_snapshot_id=s1, to_snapshot_id=s1).count() == 0
+    with pytest.raises(ValueError, match="unknown"):
+        t.read_changes(spark, from_snapshot_id=10**9)
+
+
+def test_read_changes_mor_and_pruning(spark, tmp_path):
+    """Changelog across MOR epochs + compaction: delta-append snapshots
+    diff exactly like COW ones; a compaction rewrite between the snapshots
+    is content-neutral and contributes no change rows. Also pins the scale
+    contract: the diff's candidate set is the buckets of added/removed
+    files, asserted via the pruned read being a strict file subset."""
+    t = make(spark, tmp_path, [("a", 1, 5, False), ("b", 2, 5, False),
+                               ("q", 3, 5, False)])
+    s0 = t.current_snapshot()["snapshot_id"]
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("_op", T.StringType())])
+    t.merge_cdc(spark, spark.createDataFrame(
+        [("a", 11, 9, False, "upsert"), ("n", 5, 9, False, "upsert")],
+        ch_schema), epoch=0, mode="mor")
+    t.compact(spark)
+    t.merge_cdc(spark, spark.createDataFrame(
+        [("b", 0, 10, False, "delete")], ch_schema), epoch=1, mode="mor")
+    s2 = t.current_snapshot()["snapshot_id"]
+
+    got = {r["k"]: (r["_change_type"], r["v"])
+           for r in t.read_changes(spark, from_snapshot_id=s0,
+                                   to_snapshot_id=s2).collect()}
+    assert got == {"a": ("upsert", 11), "n": ("upsert", 5), "b": ("delete", 2)}
+
+    # candidate-bucket pruning: a 1-key change between two adjacent
+    # snapshots must not read every bucket's files
+    snaps = t.snapshots()
+    prev = snaps[-2]["snapshot_id"]
+    old_paths = {f["path"] for f in snaps[-2]["files"]}
+    new_paths = {f["path"] for f in snaps[-1]["files"]}
+    cand_buckets = {f["bucket"] for f in snaps[-1]["files"]
+                    if f["path"] not in old_paths}
+    all_buckets = {f["bucket"] for f in snaps[-1]["files"]}
+    assert cand_buckets < all_buckets  # strict subset → pruning is real
+    one = {r["k"]: r["_change_type"]
+           for r in t.read_changes(spark, from_snapshot_id=prev,
+                                   to_snapshot_id=snaps[-1]["snapshot_id"]).collect()}
+    assert one == {"b": "delete"}

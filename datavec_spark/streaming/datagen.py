@@ -337,7 +337,9 @@ def events_df_spark(spark, n_events: int, n_repos: int = 2000, paths_per_repo: i
     near_lag = F.pmod(F.xxhash64(seq, F.lit(43)), F.lit(50)) + 1
     is_far = F.pmod(F.xxhash64(seq, F.lit(47)), F.lit(10)) == 0  # ~10% of dups
     dup_emit = F.when(
-        is_far, F.lit(n_events + 1) * 64 + seq  # re-delivered at the very end
+        # python-side product: F.lit(n+1) * 64 would be an INT*INT Spark
+        # expression, which overflows 32 bits past ~33.5M events
+        is_far, F.lit((n_events + 1) * 64) + seq  # re-delivered at the very end
     ).otherwise((seq + near_lag) * 64 + 1).alias("_emit")
     dups = out.where(F.pmod(F.xxhash64(seq, F.lit(41)), F.lit(100)) < dup_pct)
     all_ev = (

@@ -372,13 +372,24 @@ def q21_waiting_suppliers(spark, sf_dir):
         lo.groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum("late").alias("n_late_lines"), F.max("late").alias("any_late"))
     )
-    per_o = (
-        per_os.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_supp"), F.sum("any_late").alias("n_late_supp"))
+    # per-order rollup as WINDOW functions over per_os instead of a second
+    # groupBy joined back (round-7 guide §2.4): the aggregate-then-self-join
+    # form planned the whole lineitem⋈orders⋈agg subtree TWICE (the two
+    # branches prune different columns, so their exchanges never canonicalize
+    # equal and ReusedExchange cannot fire — verified in the r6 plan: two
+    # full Scan parquet lineitem subtrees). The window form computes per_os
+    # once and reuses its shuffle: one lineitem scan, one (orderkey,suppkey)
+    # exchange, one orderkey exchange. A window partition is one order
+    # (bounded supplier count per order), so no skew hazard at scale.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    per = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("any_late").over(w))
     )
     return (
-        per_os.join(per_o, "l_orderkey")
-        .where((F.col("any_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per.where((F.col("any_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))

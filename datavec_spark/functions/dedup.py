@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datavec_spark.cache import track
-from datavec_spark.functions.text import char_shingles, fingerprint, word_shingles
+from datavec_spark.functions.text import (
+    char_shingle_array, char_shingles, fingerprint, word_shingles,
+)
+from datavec_spark.parallel import ensure_parallelism
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -74,20 +77,40 @@ def ngram_jaccard_pairs(
     than deflating the score (dropping a universally-shared shingle cannot
     turn a true near-dup into a miss)."""
     sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
+    # inverted-index key = xxhash64(shingle), not the shingle text (guide
+    # §2.3: shuffle keys/metadata, not payloads): the df-cap aggregation,
+    # the self-join build side and every exchange then carry an 8-byte long
+    # instead of a k-word string. Set semantics are unchanged — per-doc
+    # shingle sets are distinct before hashing, so |A∩B|/|A∪B| is computed
+    # over the same sets; two DIFFERENT shingles colliding in 64 bits would
+    # merge index entries, the same 2^-64-per-pair collision contract
+    # dedup_lines already documents (expected collisions < 1 below ~2^32
+    # distinct shingles).
+    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sh = track(sh.persist())
     # stop-shingle cap: drop shingles present in >1% of docs (min 100).
-    # n_docs = EXACT count of shingle-bearing docs, computed from the
-    # persisted shingle relation (the count doubles as the
-    # cache-materialization job — not a separate df.count() scan of the
-    # source; round-3 advice item). Exact, not approx_count_distinct: the
-    # cap value is re-derived exactly by oracles/pipelines outside Spark,
-    # and an HLL estimate would silently shift which boundary shingles
-    # survive once the corpus grows past the min-100 floor (round-4 advice
-    # item #1). The population is "docs with ≥1 shingle" on BOTH sides.
-    if n_docs is None:
-        n_docs = sh.agg(F.countDistinct(id_col).alias("n")).first()["n"]
-    cap = max(int(n_docs * 0.01), 100)
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= cap)
+    # n_docs = EXACT count of shingle-bearing docs. Exact, not
+    # approx_count_distinct: the cap value is re-derived exactly by
+    # oracles/pipelines outside Spark, and an HLL estimate would silently
+    # shift which boundary shingles survive once the corpus grows past the
+    # min-100 floor (round-4 advice item #1). The population is "docs with
+    # ≥1 shingle" on BOTH sides. Round-7: the count is a 1-row aggregate
+    # broadcast into the cap predicate (the unigram_logprob pattern), NOT a
+    # driver .first() action — the whole query is ONE job again, with no
+    # driver sync point. greatest(floor(n*0.01), 100) is arithmetic-
+    # identical to the old Python max(int(n*0.01), 100): same IEEE double
+    # product, trunc == floor for non-negative values.
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is not None:
+        cap_expr = F.lit(max(int(n_docs * 0.01), 100))
+        rare = dfreq.where(F.col("df") <= cap_expr)
+    else:
+        nd = sh.agg(F.countDistinct(id_col).alias("_nd"))
+        rare = (
+            dfreq.crossJoin(F.broadcast(nd))
+            .where(F.col("df") <= F.greatest(
+                F.floor(F.col("_nd") * F.lit(0.01)), F.lit(100)))
+        )
     sh_f = track(sh.join(rare.select("shingle"), "shingle").persist())
     sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
@@ -116,10 +139,20 @@ def minhash_signatures(
     k: int = 5, num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash signatures: per doc, min over shingles of xxhash64(shingle, seed_i)
-    for num_hashes seeds — one shuffle (groupBy id), all JVM-side."""
-    sh = char_shingles(df, text_col, id_col, k)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*mins)
+    for num_hashes seeds. Computed NARROWLY per row (guide §2.4): the shingle
+    set is an in-row array (char_shingle_array) and each signature slot is
+    array_min over a transform — no explode of (id, shingle) rows, no
+    groupBy(id) shuffle; the whole signature pass is a zero-Exchange scan.
+    Values are bit-identical to the former explode + groupBy(min) form (min
+    over a set does not depend on how the set is materialized)."""
+    eligible = ensure_parallelism(df.where(F.length(F.col(text_col)) >= k), id_col)
+    with_arr = eligible.select(
+        F.col(id_col), char_shingle_array(text_col, k).alias("_sh"))
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return with_arr.select(F.col(id_col), *mins)
 
 
 def _cap_buckets(buckets: DataFrame, bucket_cap: int | None,
@@ -224,7 +257,11 @@ def near_dup_pairs_scalable(
     for the target threshold."""
     cand = minhash_lsh_pairs(df, text_col, id_col, k=k, num_hashes=num_hashes,
                              bands=bands, verify=False)
-    sh = track(char_shingles(df, text_col, id_col, k).persist())
+    # 8-byte hashed shingle key for the verify joins (same rationale and
+    # 64-bit collision contract as ngram_jaccard_pairs)
+    sh = char_shingles(df, text_col, id_col, k) \
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    sh = track(sh.persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -334,7 +371,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     hashes. Expressed as exploded token rows + one groupBy — no Python."""
     from datavec_spark.functions.text import tokens
 
-    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    # per-row-heavy (64 bit-extractions per token in the map-side partial
+    # agg): floor the scan parallelism first (datavec_spark.parallel)
+    toks = ensure_parallelism(df, id_col) \
+        .select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     h = F.xxhash64(F.col("tok"))
     aggs = []
     for i in range(bits):
@@ -433,7 +473,10 @@ def embedding_near_dup_pairs(
         plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
         dot = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
         sig = sig.bitwiseOR(F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    base = df.select(F.col(id_col), v.alias("_v"), norm.alias("_n"), sig.alias("_sig"))
+    # `planes` hyperplane dot products per row: floor the scan parallelism
+    # (datavec_spark.parallel) before the heavy projection
+    base = ensure_parallelism(df, id_col) \
+        .select(F.col(id_col), v.alias("_v"), norm.alias("_n"), sig.alias("_sig"))
     base = _cap_buckets(base, bucket_cap, keys=("_sig",))
     a, b_ = base.alias("a"), base.alias("b")
     dot_ab = F.aggregate(F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datavec_spark.parallel import ensure_parallelism
+
 # tiny per-language stopword seeds for the n-gram/stopword language-ID
 # heuristic (public common-word lists, truncated for expression size)
 STOPWORDS = {
@@ -149,32 +151,53 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(F.trim(norm))
 
 
-def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
-    """Distinct (id, shingle) rows of character k-grams via explode —
-    distributed shingling without Python. Scale note: output is
-    ~len(text) rows per doc before distinct; filter ids/text upstream."""
-    eligible = df.where(F.length(F.col(text_col)) >= k)
+def char_shingle_array(text_col: str, k: int = 5) -> Column:
+    """Per-row DISTINCT character-k-gram set as an array column — the
+    shingle set computed narrowly (array_distinct inside the row) instead
+    of explode + global distinct, which costs a full shuffle of every
+    (id, shingle) row. Rows with length < k yield an empty array (guarded:
+    Spark's sequence(1, n) counts DOWN when n < 1)."""
     n = F.length(F.col(text_col)) - (k - 1)
-    return (
-        eligible.select(
-            F.col(id_col), F.col(text_col), F.explode(F.sequence(F.lit(1), n)).alias("pos")
-        )
-        .select(F.col(id_col), F.expr(f"substring({text_col}, pos, {k})").alias("shingle"))
-        .distinct()
+    arr = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda p: F.col(text_col).substr(p, F.lit(k)))
+    )
+    return F.when(n >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingle_array(text_col: str, k: int = 3) -> Column:
+    """Per-row DISTINCT word-k-gram set (lowercased, whitespace tokens) as
+    an array column — narrow equivalent of explode + distinct."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks) - (k - 1)
+    arr = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda p: F.array_join(F.slice(toks, p, k), " "))
+    )
+    return F.when(n >= 1, arr).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Distinct (id, shingle) rows of character k-grams. The per-doc set is
+    built narrowly (array_distinct inside the row — guide §2.4: the old
+    explode + DataFrame.distinct() shuffled every (id, shingle) row just to
+    dedup within a document; distinctness is per-doc by construction, so no
+    exchange is needed at all). Shingling is per-row-heavy: apply the
+    scan-parallelism floor so a single-row-group input does not serialize
+    it on one core (datavec_spark.parallel)."""
+    eligible = ensure_parallelism(df.where(F.length(F.col(text_col)) >= k), id_col)
+    return eligible.select(
+        F.col(id_col), F.explode(char_shingle_array(text_col, k)).alias("shingle")
     )
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct (id, shingle) rows of word k-grams (n-gram Jaccard basis)."""
+    """Distinct (id, shingle) rows of word k-grams (n-gram Jaccard basis).
+    Narrow per-doc set construction — see char_shingles."""
     toks = tokens(F.lower(F.col(text_col)))
-    with_toks = df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") >= k)
-    n = F.size(F.col("_toks")) - (k - 1)
-    return (
-        with_toks.select(F.col(id_col), F.col("_toks"),
-                         F.explode(F.sequence(F.lit(0), n - 1)).alias("pos"))
-        .select(F.col(id_col),
-                F.array_join(F.slice(F.col("_toks"), F.col("pos") + 1, k), " ").alias("shingle"))
-        .distinct()
+    eligible = ensure_parallelism(df.where(F.size(toks) >= k), id_col)
+    return eligible.select(
+        F.col(id_col), F.explode(word_shingle_array(text_col, k)).alias("shingle")
     )
 
 

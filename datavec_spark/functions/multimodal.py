@@ -100,15 +100,19 @@ def decode_and_resize(
                             px = decode_png(raw)
                             arr = resize_nearest(to_channels(px, channels), height, width)
                             fmt = "png"
-                        except ValueError:
+                        except (ValueError, MemoryError):
                             arr = None
                     elif is_jpeg(raw):
                         try:
                             px = decode_jpeg(raw)
                             arr = resize_nearest(to_channels(px, channels), height, width)
                             fmt = "jpeg"
-                        except ValueError:
-                            # progressive/arithmetic/corrupt → deterministic fake
+                        except (ValueError, MemoryError):
+                            # progressive/arithmetic/corrupt → deterministic
+                            # fake; MemoryError too (r6 advice #3): a
+                            # decompression-bomb-shaped baseline JPEG must
+                            # not crash the Spark task — the 'never crash a
+                            # task' contract beats surfacing the OOM
                             arr = None
                 if arr is None:
                     arr, fmt = _fake_decode(raw, height, width, channels), "fake"

@@ -758,6 +758,38 @@ class IceliteTable:
         finally:
             if persisted:
                 changes.unpersist()
+        # PRUNING-SET GUARD (r6 advice #2): when the caller supplied the
+        # touched set (derived from a separate stats pass over a
+        # non-persisted batch), a non-deterministic change plan can
+        # recompute rows into buckets/slots OUTSIDE that set — the merge
+        # would then commit the stray rows into a new file while the stale
+        # file holding their old versions is carried forward untouched:
+        # silent duplicate key versions. The written manifest entries carry
+        # each output file's true (bucket, slot), so the violation is
+        # detectable here for free (driver-side set check, no extra job) —
+        # fail the commit loudly instead.
+        if touched_bucket_slots is not None:
+            allowed = set(pairs)
+            stray = sorted({(e["bucket"], e.get("slot")) for e in new_files}
+                           - {(b, s) for b, s in allowed})
+            if stray:
+                raise RuntimeError(
+                    f"merge_cdc: changes materialized into (bucket, slot) "
+                    f"pairs {stray[:10]} outside the supplied "
+                    f"touched_bucket_slots — the change plan recomputed "
+                    f"differently than the stats pass that derived the "
+                    f"pruning set (non-deterministic upstream?); pass "
+                    f"persist_batch=True or drop the pruning hint")
+        elif touched_buckets is not None:
+            stray = sorted({e["bucket"] for e in new_files} - set(touched))
+            if stray:
+                raise RuntimeError(
+                    f"merge_cdc: changes materialized into buckets "
+                    f"{stray[:10]} outside the supplied touched_buckets — "
+                    f"the change plan recomputed differently than the stats "
+                    f"pass that derived the pruning set (non-deterministic "
+                    f"upstream?); pass persist_batch=True or drop the "
+                    f"pruning hint")
         # `untouched` was partitioned off the snapshot of the metadata
         # ALREADY loaded for the commit CAS — no fresh read (serial-path
         # trim); every selected file was consumed into `merged` above and

@@ -81,12 +81,32 @@ LINEAGE_SCHEMA = T.StructType(
 
 
 def _delay_to_seconds(delay: str) -> int:
-    """Parse a Spark interval string ('600 seconds', '120 minutes',
-    '2 hours', '1 day') into seconds — keeps the apply-stage lateness SLA
-    numerically identical to the watermark delay the stream declares."""
-    n, unit = delay.strip().split()
-    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
-    return int(float(n) * mult[unit.rstrip("s").lower()])
+    """Parse a Spark interval string ('600 seconds', '500 milliseconds',
+    '1 week', '1 hour 30 minutes') into whole seconds (floor) — keeps the
+    apply-stage lateness SLA numerically aligned with the watermark delay
+    the stream declares. Accepts every unit Spark's watermark parser does,
+    including multi-unit forms; raises a descriptive ValueError otherwise
+    (r6 advice: the two-token-only parser crashed on previously-valid
+    Spark interval strings with KeyError/unpack errors)."""
+    mult = {"microsecond": 1e-6, "millisecond": 1e-3, "second": 1,
+            "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    parts = delay.strip().split()
+    if not parts or len(parts) % 2 != 0:
+        raise ValueError(
+            f"unsupported interval {delay!r}: expected '<n> <unit>' pairs "
+            f"(units: {', '.join(sorted(mult))}, plural accepted)")
+    total = 0.0
+    for i in range(0, len(parts), 2):
+        n, unit = parts[i], parts[i + 1].rstrip("s").lower()
+        if unit not in mult:
+            raise ValueError(
+                f"unsupported interval unit {parts[i + 1]!r} in {delay!r} "
+                f"(units: {', '.join(sorted(mult))}, plural accepted)")
+        try:
+            total += float(n) * mult[unit]
+        except ValueError:
+            raise ValueError(f"bad interval quantity {n!r} in {delay!r}")
+    return int(total)
 
 
 def content_expr(repo: F.Column, path: F.Column, seq: F.Column) -> F.Column:

@@ -1,0 +1,113 @@
+"""Focused tests for the round-7 optimization changes: narrow shingling,
+zero-shuffle minhash, interval parsing, and the merge_cdc pruning-set
+guard. Each pins an optimized operator's internals to its pre-optimization
+semantics."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datavec_spark.functions.dedup import minhash_signatures
+from datavec_spark.functions.text import char_shingles, word_shingles
+from datavec_spark.streaming.replay import _delay_to_seconds
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "ab"),          # shorter than any k: must vanish from char k=5
+    (3, "one two"),     # < 3 words: must vanish from word k=3
+    (4, "aaaaaaa"),     # degenerate: one distinct char-5 shingle
+    (5, ""),            # empty
+]
+
+
+def _py_word_shingles(text, k=3):
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_char_shingles(text, k=5):
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def test_word_shingles_match_python_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in word_shingles(df, "text", "doc_id", 3).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    expect = {i: _py_word_shingles(t) for i, t in DOCS if len(t.split()) >= 3}
+    assert got == {k: v for k, v in expect.items() if v}
+
+
+def test_char_shingles_match_python_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {}
+    for r in char_shingles(df, "text", "doc_id", 5).collect():
+        got.setdefault(r["doc_id"], set()).add(r["shingle"])
+    expect = {i: _py_char_shingles(t) for i, t in DOCS if len(t) >= 5}
+    assert got == {k: v for k, v in expect.items() if v}
+
+
+def test_minhash_narrow_matches_explode_groupby_form(spark):
+    """The narrow per-row array_min signatures must be value-identical to
+    the former explode + groupBy(min(xxhash64(shingle, seed))) form."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    k, num_hashes = 5, 8
+    narrow = {r["doc_id"]: [r[f"h{i}"] for i in range(num_hashes)]
+              for r in minhash_signatures(df, k=k, num_hashes=num_hashes).collect()}
+    sh = char_shingles(df, "text", "doc_id", k)
+    legacy_df = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+          for i in range(num_hashes)])
+    legacy = {r["doc_id"]: [r[f"h{i}"] for i in range(num_hashes)]
+              for r in legacy_df.collect()}
+    assert narrow == legacy
+
+
+def test_delay_to_seconds_interval_forms():
+    assert _delay_to_seconds("600 seconds") == 600
+    assert _delay_to_seconds("120 minutes") == 7200
+    assert _delay_to_seconds("2 hours") == 7200
+    assert _delay_to_seconds("1 day") == 86400
+    # previously-crashing Spark-valid forms (r6 advice #1)
+    assert _delay_to_seconds("500 milliseconds") == 0
+    assert _delay_to_seconds("1500 milliseconds") == 1
+    assert _delay_to_seconds("1 week") == 604800
+    assert _delay_to_seconds("1 hour 30 minutes") == 5400
+    with pytest.raises(ValueError, match="unsupported interval unit"):
+        _delay_to_seconds("3 fortnights")
+    with pytest.raises(ValueError, match="unsupported interval"):
+        _delay_to_seconds("90")
+
+
+def test_merge_cdc_pruning_guard_catches_stray_buckets(spark):
+    """A touched_buckets set that does not cover every change bucket must
+    fail loudly (r6 advice #2: silent duplicate key versions otherwise)."""
+    from pyspark.sql import types as T
+
+    from datavec_spark.sources.icelite import IceliteTable
+
+    tmp = tempfile.mkdtemp(prefix="icelite_guard_")
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_seq", T.LongType()),
+        T.StructField("_deleted", T.BooleanType()),
+    ])
+    t = IceliteTable.create(os.path.join(tmp, "t"), schema, key_cols=["k"],
+                            num_buckets=8)
+    base = spark.createDataFrame(
+        [(f"k{i}", "v0", 0, False) for i in range(20)], schema)
+    t.overwrite(base)
+    changes = spark.createDataFrame(
+        [(f"k{i}", "v1", 1, False) for i in range(20)], schema) \
+        .withColumn("_op", F.lit("upsert"))
+    # correct full set works
+    t.merge_cdc(spark, changes, epoch=0, touched_buckets=list(range(8)))
+    # a deliberately short set must raise, not silently commit
+    with pytest.raises(RuntimeError, match="outside the supplied touched_buckets"):
+        t.merge_cdc(spark, changes.withColumn("_seq", F.lit(2).cast("long")),
+                    epoch=1, touched_buckets=[0])

@@ -180,13 +180,28 @@ def q7_volume_shipping(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    # r7: restrict BOTH nation dims to the two trading nations BEFORE the
+    # joins — the disjunctive pair predicate only ever admits rows whose
+    # supplier AND customer nation are in {NATION_1, NATION_2}, but
+    # Catalyst cannot derive that single-column implication from the
+    # cross-column OR, so without this the full fact table flowed through
+    # all five joins and was filtered LAST (guide §2.3 "project/filter
+    # before the exchange"). The inner broadcast joins now drop ~92% of
+    # lineitem rows at the first nation join; the final pair predicate is
+    # unchanged, so the result set is identical.
+    trading = ["NATION_1", "NATION_2"]
+    n1 = n.where(F.col("n_name").isin(trading)) \
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.where(F.col("n_name").isin(trading)) \
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # most selective joins first (supplier → trading-nation) so the
+        # fact table shrinks before the orders/customer joins; inner joins
+        # commute, so the result is unchanged
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .where(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
                | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))

@@ -13,9 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datavec_spark.cache import track
-from datavec_spark.functions.text import (
-    char_shingle_array, char_shingles, fingerprint, word_shingles,
-)
+from datavec_spark.functions.text import char_shingles, fingerprint, word_shingles
 from datavec_spark.parallel import ensure_parallelism
 
 
@@ -76,17 +74,13 @@ def ngram_jaccard_pairs(
     the filtered sets, so the cap narrows the universe consistently rather
     than deflating the score (dropping a universally-shared shingle cannot
     turn a true near-dup into a miss)."""
-    sh = (word_shingles if use_words else char_shingles)(df, text_col, id_col, k)
-    # inverted-index key = xxhash64(shingle), not the shingle text (guide
-    # §2.3: shuffle keys/metadata, not payloads): the df-cap aggregation,
-    # the self-join build side and every exchange then carry an 8-byte long
-    # instead of a k-word string. Set semantics are unchanged — per-doc
-    # shingle sets are distinct before hashing, so |A∩B|/|A∪B| is computed
-    # over the same sets; two DIFFERENT shingles colliding in 64 bits would
-    # merge index entries, the same 2^-64-per-pair collision contract
-    # dedup_lines already documents (expected collisions < 1 below ~2^32
-    # distinct shingles).
-    sh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    # hashed=True: the inverted-index key is xxhash64(shingle), not the
+    # shingle text (guide §2.3: shuffle keys/metadata, not payloads) — the
+    # distinct, the df-cap aggregation and the self-join build side all
+    # carry an 8-byte long instead of a k-word string. Jaccard is computed
+    # over the same sets (collision contract documented on char_shingles).
+    sh = (word_shingles if use_words else char_shingles)(
+        df, text_col, id_col, k, hashed=True)
     sh = track(sh.persist())
     # stop-shingle cap: drop shingles present in >1% of docs (min 100).
     # n_docs = EXACT count of shingle-bearing docs. Exact, not
@@ -100,17 +94,26 @@ def ngram_jaccard_pairs(
     # driver sync point. greatest(floor(n*0.01), 100) is arithmetic-
     # identical to the old Python max(int(n*0.01), 100): same IEEE double
     # product, trunc == floor for non-negative values.
+    if n_docs is None:
+        # count the BASE table under the same eligibility predicate the
+        # shingle op applies — every eligible doc yields ≥1 shingle, so
+        # this equals countDistinct(id) over the shingle relation, without
+        # scanning/exploding it (the pre-r7 form counted the shingle
+        # relation itself). A small driver job, deliberately: folding the
+        # count into the main job as a broadcast 1-row aggregate was
+        # A/B-measured 1.5–12 s slower and jittery at a 100k-doc corpus
+        # (the broadcast subquery stage races the persisted shingle
+        # relation's materialization); the literal cap keeps the main job
+        # a stable single shape at every scale.
+        from datavec_spark.functions.text import tokens
+
+        elig = (F.size(tokens(F.lower(F.col(text_col)))) >= k) if use_words \
+            else (F.length(F.col(text_col)) >= k)
+        n_docs = df.where(elig).agg(
+            F.count_distinct(F.col(id_col)).alias("_nd")).first()["_nd"]
+    cap = max(int(n_docs * 0.01), 100)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    if n_docs is not None:
-        cap_expr = F.lit(max(int(n_docs * 0.01), 100))
-        rare = dfreq.where(F.col("df") <= cap_expr)
-    else:
-        nd = sh.agg(F.countDistinct(id_col).alias("_nd"))
-        rare = (
-            dfreq.crossJoin(F.broadcast(nd))
-            .where(F.col("df") <= F.greatest(
-                F.floor(F.col("_nd") * F.lit(0.01)), F.lit(100)))
-        )
+    rare = dfreq.where(F.col("df") <= cap)
     sh_f = track(sh.join(rare.select("shingle"), "shingle").persist())
     sizes = sh_f.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
@@ -139,20 +142,20 @@ def minhash_signatures(
     k: int = 5, num_hashes: int = 64,
 ) -> DataFrame:
     """MinHash signatures: per doc, min over shingles of xxhash64(shingle, seed_i)
-    for num_hashes seeds. Computed NARROWLY per row (guide §2.4): the shingle
-    set is an in-row array (char_shingle_array) and each signature slot is
-    array_min over a transform — no explode of (id, shingle) rows, no
-    groupBy(id) shuffle; the whole signature pass is a zero-Exchange scan.
-    Values are bit-identical to the former explode + groupBy(min) form (min
-    over a set does not depend on how the set is materialized)."""
-    eligible = ensure_parallelism(df.where(F.length(F.col(text_col)) >= k), id_col)
-    with_arr = eligible.select(
-        F.col(id_col), char_shingle_array(text_col, k).alias("_sh"))
-    mins = [
-        F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return with_arr.select(F.col(id_col), *mins)
+    for num_hashes seeds — explode + one groupBy(id) shuffle, all JVM-side.
+
+    Shape note (r7): a zero-shuffle per-row formulation (shingle set as an
+    in-row array, array_min over a transform) was built and A/B-measured;
+    it only won when the scan planned as a single task. With the scan-
+    parallelism floor in char_shingles the codegen'd explode + partial-agg
+    form is ~2.6× faster at a 100k-doc corpus (interpreted HOF evaluation
+    loses to whole-stage codegen), so the explode form stays; the narrow
+    form survives as char_shingle_array for callers that need a set
+    column. Values are identical either way (pinned in
+    tests/test_r07_optimizations.py)."""
+    sh = char_shingles(df, text_col, id_col, k)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def _cap_buckets(buckets: DataFrame, bucket_cap: int | None,
@@ -259,9 +262,7 @@ def near_dup_pairs_scalable(
                              bands=bands, verify=False)
     # 8-byte hashed shingle key for the verify joins (same rationale and
     # 64-bit collision contract as ngram_jaccard_pairs)
-    sh = char_shingles(df, text_col, id_col, k) \
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-    sh = track(sh.persist())
+    sh = track(char_shingles(df, text_col, id_col, k, hashed=True).persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -152,11 +152,13 @@ def fingerprint(col: Column) -> Column:
 
 
 def char_shingle_array(text_col: str, k: int = 5) -> Column:
-    """Per-row DISTINCT character-k-gram set as an array column — the
-    shingle set computed narrowly (array_distinct inside the row) instead
-    of explode + global distinct, which costs a full shuffle of every
-    (id, shingle) row. Rows with length < k yield an empty array (guarded:
-    Spark's sequence(1, n) counts DOWN when n < 1)."""
+    """Per-row DISTINCT character-k-gram set as an array column. NOTE:
+    this interpreted-HOF form measured ~2.6× SLOWER than the codegen'd
+    explode+distinct in char_shingles once scans have real parallelism
+    (r7 20×-corpus A/B) — use it only where a per-row SET column is
+    genuinely needed, not as a shuffle-avoidance trick. Rows with
+    length < k yield an empty array (guarded: Spark's sequence(1, n)
+    counts DOWN when n < 1)."""
     n = F.length(F.col(text_col)) - (k - 1)
     arr = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n),
@@ -167,7 +169,8 @@ def char_shingle_array(text_col: str, k: int = 5) -> Column:
 
 def word_shingle_array(text_col: str, k: int = 3) -> Column:
     """Per-row DISTINCT word-k-gram set (lowercased, whitespace tokens) as
-    an array column — narrow equivalent of explode + distinct."""
+    an array column — same caveat as char_shingle_array: prefer the
+    explode+distinct ops for bulk pipelines."""
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks) - (k - 1)
     arr = F.array_distinct(
@@ -177,27 +180,51 @@ def word_shingle_array(text_col: str, k: int = 3) -> Column:
     return F.when(n >= 1, arr).otherwise(F.array().cast("array<string>"))
 
 
-def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
-    """Distinct (id, shingle) rows of character k-grams. The per-doc set is
-    built narrowly (array_distinct inside the row — guide §2.4: the old
-    explode + DataFrame.distinct() shuffled every (id, shingle) row just to
-    dedup within a document; distinctness is per-doc by construction, so no
-    exchange is needed at all). Shingling is per-row-heavy: apply the
-    scan-parallelism floor so a single-row-group input does not serialize
-    it on one core (datavec_spark.parallel)."""
+def char_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 5,
+                  hashed: bool = False) -> DataFrame:
+    """Distinct (id, shingle) rows of character k-grams via explode +
+    distinct (whole-stage-codegen'd — measured 2.6× faster than the
+    interpreted per-row array_distinct/HOF form once the scan has real
+    parallelism; see parallel.py for the scan floor that guarantees it).
+
+    hashed=True returns `shingle` as xxhash64 of the shingle text: the
+    distinct and every downstream exchange/join then carry an 8-byte long
+    instead of the string (guide §2.3 — shuffle keys, not payloads). Two
+    distinct shingles colliding in 64 bits would merge index entries: the
+    same 2^-64-per-pair collision contract dedup_lines documents (expected
+    collisions < 1 below ~2^32 distinct shingles)."""
     eligible = ensure_parallelism(df.where(F.length(F.col(text_col)) >= k), id_col)
-    return eligible.select(
-        F.col(id_col), F.explode(char_shingle_array(text_col, k)).alias("shingle")
+    n = F.length(F.col(text_col)) - (k - 1)
+    sh = F.expr(f"substring({text_col}, pos, {k})")
+    if hashed:
+        sh = F.xxhash64(sh)
+    return (
+        eligible.select(
+            F.col(id_col), F.col(text_col), F.explode(F.sequence(F.lit(1), n)).alias("pos")
+        )
+        .select(F.col(id_col), sh.alias("shingle"))
+        .distinct()
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                  hashed: bool = False) -> DataFrame:
     """Distinct (id, shingle) rows of word k-grams (n-gram Jaccard basis).
-    Narrow per-doc set construction — see char_shingles."""
+    Explode + distinct form with optional 8-byte hashed output — see
+    char_shingles."""
     toks = tokens(F.lower(F.col(text_col)))
-    eligible = ensure_parallelism(df.where(F.size(toks) >= k), id_col)
-    return eligible.select(
-        F.col(id_col), F.explode(word_shingle_array(text_col, k)).alias("shingle")
+    eligible = ensure_parallelism(
+        df.select(F.col(id_col), toks.alias("_toks")).where(F.size("_toks") >= k),
+        id_col)
+    n = F.size(F.col("_toks")) - (k - 1)
+    sh = F.array_join(F.slice(F.col("_toks"), F.col("pos") + 1, k), " ")
+    if hashed:
+        sh = F.xxhash64(sh)
+    return (
+        eligible.select(F.col(id_col), F.col("_toks"),
+                        F.explode(F.sequence(F.lit(0), n - 1)).alias("pos"))
+        .select(F.col(id_col), sh.alias("shingle"))
+        .distinct()
     )
 
 

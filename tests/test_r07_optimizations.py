@@ -51,20 +51,31 @@ def test_char_shingles_match_python_reference(spark):
     assert got == {k: v for k, v in expect.items() if v}
 
 
-def test_minhash_narrow_matches_explode_groupby_form(spark):
-    """The narrow per-row array_min signatures must be value-identical to
-    the former explode + groupBy(min(xxhash64(shingle, seed))) form."""
+def test_minhash_explode_form_matches_narrow_array_form(spark):
+    """The explode + groupBy(min) signatures must be value-identical to a
+    per-row array_min over the in-row shingle set (min over a set is
+    materialization-independent) — pins the r7 A/B conclusion that the two
+    formulations are interchangeable on values, so the faster one can be
+    chosen freely."""
+    from datavec_spark.functions.text import char_shingle_array
+
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     k, num_hashes = 5, 8
+    got = {r["doc_id"]: [r[f"h{i}"] for i in range(num_hashes)]
+           for r in minhash_signatures(df, k=k, num_hashes=num_hashes).collect()}
+    with_arr = df.where(F.length("text") >= k).select(
+        F.col("doc_id"), char_shingle_array("text", k).alias("_sh"))
+    def slot(i):
+        # NB: a two-parameter lambda in F.transform would receive
+        # (element, index) — bind the seed via closure instead
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    narrow_df = with_arr.select(
+        "doc_id", *[slot(i).alias(f"h{i}") for i in range(num_hashes)])
     narrow = {r["doc_id"]: [r[f"h{i}"] for i in range(num_hashes)]
-              for r in minhash_signatures(df, k=k, num_hashes=num_hashes).collect()}
-    sh = char_shingles(df, "text", "doc_id", k)
-    legacy_df = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-          for i in range(num_hashes)])
-    legacy = {r["doc_id"]: [r[f"h{i}"] for i in range(num_hashes)]
-              for r in legacy_df.collect()}
-    assert narrow == legacy
+              for r in narrow_df.collect()}
+    assert got == narrow
 
 
 def test_delay_to_seconds_interval_forms():

@@ -190,9 +190,19 @@ class CdcEngine:
         return t.read(spark).where(~F.col("_deleted")).drop("_seq", "_deleted")
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        return self.lineage_table().read(spark).where(~F.col("_deleted")).drop("_seq", "_deleted") \
-            if "_deleted" in [f.name for f in self.lineage_table().schema_struct().fields] \
-            else self.lineage_table().read(spark)
+        lin = self.lineage_table()
+        df = lin.read(spark)
+        if "_deleted" in df.columns:
+            df = df.where(~F.col("_deleted")).drop("_seq", "_deleted")
+        # upgrade path (r6 advice #4): a lineage table created before a
+        # LINEAGE_SCHEMA column existed (e.g. dropped_late) stores the old
+        # schema; null-fill the missing columns so readers written against
+        # the current schema keep resolving (matches the field-id
+        # projection contract data tables already have)
+        for f in LINEAGE_SCHEMA.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
 
     # -- the apply stage (shared by batch replay and foreachBatch) --------------
 

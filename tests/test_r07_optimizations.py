@@ -1,7 +1,7 @@
-"""Focused tests for the round-7 optimization changes: narrow shingling,
-zero-shuffle minhash, interval parsing, and the merge_cdc pruning-set
-guard. Each pins an optimized operator's internals to its pre-optimization
-semantics."""
+"""Focused tests for the round-7 optimization changes: shingle/minhash
+formulation equivalence, interval parsing, the merge_cdc pruning-set
+guard, and lineage schema migration. Each pins a changed operator's
+internals to its pre-change semantics."""
 
 import os
 import tempfile
@@ -122,3 +122,33 @@ def test_merge_cdc_pruning_guard_catches_stray_buckets(spark):
     with pytest.raises(RuntimeError, match="outside the supplied touched_buckets"):
         t.merge_cdc(spark, changes.withColumn("_seq", F.lit(2).cast("long")),
                     epoch=1, touched_buckets=[0])
+
+
+def test_read_lineage_null_fills_pre_upgrade_schema(spark):
+    """A lineage table written before LINEAGE_SCHEMA gained dropped_late
+    must stay readable: missing columns come back null-filled and the drop
+    totals resolve (r6 advice #4)."""
+    from pyspark.sql import types as T
+
+    from datavec_spark.sources.icelite import IceliteTable
+    from datavec_spark.streaming.replay import LINEAGE_SCHEMA, CdcEngine
+
+    tmp = tempfile.mkdtemp(prefix="cdc_lineage_mig_")
+    old_fields = [f for f in LINEAGE_SCHEMA.fields if f.name != "dropped_late"]
+    lin = IceliteTable.create(
+        os.path.join(tmp, "repos_lineage"), T.StructType(old_fields),
+        key_cols=["epoch", "partition"], num_buckets=1,
+        properties={"lineage.last-epoch": "-1"},
+    )
+    lin.append_rows_local(
+        [{"epoch": 0, "partition": 3, "event_count": 10, "min_seq": 1,
+          "max_seq": 10, "late_count": 2, "snapshot_id": 1}],
+        properties_update={"lineage.last-epoch": "0"},
+    )
+    eng = CdcEngine(os.path.join(tmp, "repos"))
+    df = eng.read_lineage(spark)
+    assert "dropped_late" in df.columns
+    row = df.collect()[0]
+    assert row["event_count"] == 10 and row["dropped_late"] is None
+    totals = eng.lineage_drop_totals(spark)
+    assert totals == {"rows_dropped_late": 0, "rows_late": 2, "rows_arrived": 10}

@@ -142,6 +142,12 @@ class _BitReader:
 
     def restart(self, idx: int) -> None:
         self.n = 0  # byte-align
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them (a fill byte is a 0xFF whose successor is
+        # another 0xFF; the final 0xFF is the marker prefix itself)
+        while (self.p + 1 < len(self.d) and self.d[self.p] == 0xFF
+               and self.d[self.p + 1] == 0xFF):
+            self.p += 1
         if (self.p + 1 >= len(self.d) or self.d[self.p] != 0xFF
                 or self.d[self.p + 1] != 0xD0 + (idx & 7)):
             raise ValueError("expected restart marker RST%d" % (idx & 7))

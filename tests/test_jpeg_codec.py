@@ -160,3 +160,32 @@ def test_spark_decode_and_resize_real_jpeg(spark):
                    .reshape(8, 8, 3) * 255.0).astype(np.uint8)
     assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
     assert out[2]["meta"]["format"] == "fake"
+
+
+def test_decode_tolerates_fill_bytes_before_restart_markers():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes; a
+    spec-legal encoder may pad before RSTn. Insert a fill byte before
+    every restart marker of a restart-interval stream and require the
+    decode to be identical (r6 advice #5)."""
+    import numpy as np
+
+    from datavec_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+    enc = encode_jpeg(img, quality=90, restart_interval=2)
+    # find RSTn markers (0xFFD0-0xFFD7) in the entropy stream and pad them
+    padded = bytearray()
+    i = 0
+    n_padded = 0
+    while i < len(enc):
+        if (enc[i] == 0xFF and i + 1 < len(enc)
+                and 0xD0 <= enc[i + 1] <= 0xD7):
+            padded.append(0xFF)  # fill byte before the marker
+            n_padded += 1
+        padded.append(enc[i])
+        i += 1
+    assert n_padded > 0, "fixture must actually contain restart markers"
+    base = decode_jpeg(enc)
+    filled = decode_jpeg(bytes(padded))
+    assert np.array_equal(base, filled)
